@@ -244,27 +244,6 @@ def select(mask, a, b):
     return jnp.where(mask[None], a, b)
 
 
-@functools.partial(jax.jit, static_argnames=("exponent", "spec"))
-def pow_fixed(a, exponent: int, spec: FieldSpec):
-    """a^e (Montgomery in/out) for static e via MSB-first scan."""
-    bits = np.array([int(c) for c in bin(exponent)[2:]], dtype=np.int32)
-    one = consts(spec.mont_r, a.shape[1:], spec)
-
-    def body(f, bit):
-        f = sqr(f, spec)
-        f = select(bit == 1, mul(f, a, spec), f)
-        return f, None
-
-    out, _ = lax.scan(body, one, jnp.asarray(bits))
-    return out
-
-
-@functools.partial(jax.jit, static_argnames=("spec",))
-def inv(a, spec: FieldSpec):
-    """Fermat inverse (0 -> 0), batch-parallel."""
-    return pow_fixed(a, spec.modulus - 2, spec)
-
-
 def zeros(batch_shape, spec: FieldSpec):
     return jnp.zeros((spec.num_limbs,) + tuple(batch_shape), _U32)
 

@@ -12,8 +12,14 @@ import time — pytest imports conftest.py before collecting test modules.
 import os
 import sys
 
-if os.environ.get("ARK_TPU_TESTS", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_USE_TPU = os.environ.get("ARK_TPU_TESTS", "0") == "1"
+
+if not _USE_TPU:
+    # The container's axon sitecustomize force-registers the remote-TPU
+    # backend and overrides jax_platforms in every process, so setting the
+    # env var is not enough — override the config after import, before any
+    # backend is initialized.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -21,6 +27,11 @@ if os.environ.get("ARK_TPU_TESTS", "0") != "1":
         ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if not _USE_TPU:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: the limb-engine graphs are expensive to
 # compile on CPU; caching makes repeat pytest runs cheap.

@@ -16,7 +16,7 @@ from ark_blst_tpu.ops import limbs as L
 from ark_blst_tpu.ops import fieldops as FO
 
 RNG = random.Random(0xF00D)
-N = 16
+N = 8
 
 
 def _edge_values(p, n):
@@ -44,7 +44,6 @@ def data(spec):
     xs, ys = _edge_values(p, N), _edge_values(p, N)[::-1]
     ax, ay = _stacked(xs, spec), _stacked(ys, spec)
 
-    @jax.jit
     def run(ax, ay):
         mx = FO.mont_from_int_array(ax, spec)
         my = FO.mont_from_int_array(ay, spec)
@@ -95,19 +94,15 @@ def test_predicates(spec, data):
     assert _ints(r["sel"]) == xs
 
 
-def test_inv_fr():
-    spec = FO.FR
-    p = spec.modulus
-    xs = _edge_values(p, 8)
-    ax = _stacked(xs, spec)
+def test_inv_dispatch():
+    from ark_blst_tpu.ops import dispatch as D
 
-    @jax.jit
-    def run(ax):
-        mx = FO.mont_from_int_array(ax, spec)
-        return FO.mont_to_int_array(FO.inv(mx, spec), spec)
-
-    got = _ints(np.asarray(run(ax)))
-    assert got == [pow(x, -1, p) if x else 0 for x in xs]
+    for spec in (FO.FR, FO.FP):
+        p = spec.modulus
+        xs = _edge_values(p, 8)
+        mx = FO.mont_from_int_array(_stacked(xs, spec), spec)
+        got = _ints(np.asarray(FO.mont_to_int_array(D.fp_inv(mx, spec), spec)))
+        assert got == [pow(x, -1, p) if x else 0 for x in xs]
 
 
 def test_array_engine_matches_list_engine():
