@@ -65,3 +65,45 @@ def fp12_to_dev(values):
 def fp12_from_dev(a):
     cs = [fp6_from_dev(a[i]) for i in range(2)]
     return [tuple(c[n] for c in cs) for n in range(len(cs[0]))]
+
+
+# --- curve points ------------------------------------------------------------
+
+def g1_to_dev(points):
+    """Oracle affine points (None = identity) -> device projective batch."""
+    xs = [0 if p is None else p[0] for p in points]
+    ys = [1 if p is None else p[1] for p in points]
+    zs = [0 if p is None else 1 for p in points]
+    return (fp_to_dev(xs), fp_to_dev(ys), fp_to_dev(zs))
+
+
+def g1_from_dev(pt):
+    """Device projective batch -> oracle affine points (host-side division)."""
+    xs, ys, zs = (fp_from_dev(c) for c in pt)
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+        else:
+            zi = pow(z, -1, OF.P)
+            out.append((x * zi % OF.P, y * zi % OF.P))
+    return out
+
+
+def g2_to_dev(points):
+    xs = [OF.FP2_ZERO if p is None else p[0] for p in points]
+    ys = [OF.FP2_ONE if p is None else p[1] for p in points]
+    zs = [OF.FP2_ZERO if p is None else OF.FP2_ONE for p in points]
+    return (fp2_to_dev(xs), fp2_to_dev(ys), fp2_to_dev(zs))
+
+
+def g2_from_dev(pt):
+    xs, ys, zs = (fp2_from_dev(c) for c in pt)
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == (0, 0):
+            out.append(None)
+        else:
+            zi = OF.fp2_inv(z)
+            out.append((OF.fp2_mul(x, zi), OF.fp2_mul(y, zi)))
+    return out
