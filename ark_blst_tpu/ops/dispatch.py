@@ -78,7 +78,10 @@ def _arr_neg(a, spec):
 def fp_mul(a, b, spec: FieldSpec = FP):
     if use_pallas():
         return PF.mont_mul(a, b, spec)
-    b = jnp.broadcast_to(b, a.shape)
+    # symmetric broadcast: either operand may be the larger one
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
     return _st(_arr_mul(_rm(a), _rm(b), spec))
 
 

@@ -26,6 +26,11 @@ from .limbs import FieldSpec, MASK
 
 DEFAULT_BLOCK_ROWS = 16  # sublane rows of 128 lanes per grid step
 
+# Test hook: when True every pallas_call runs in interpret mode, so the
+# Pallas shape/layout logic is exercised on CPU in the test suite (the
+# round-1 TPU bench crash was a broadcast bug no CPU test could reach).
+INTERPRET = False
+
 _U32 = jnp.uint32
 
 
@@ -59,12 +64,18 @@ def _neg_body(a, spec):
 # --- generic pallas wrappers -------------------------------------------------
 
 def _block_call(body_nargs, body, spec, block_rows, *args):
-    """Run `body` (list-level, n-ary) over stacked (L, *batch) operands."""
+    """Run `body` (list-level, n-ary) over stacked (L, *batch) operands.
+
+    Operands are broadcast to a common batch shape *before* flattening —
+    flattening first destroys axis alignment (round-1 regression: bucket
+    (L, lanes, W, 1) + point (L, lanes, 1, 1) group adds crashed the TPU
+    bench, BENCH_r01.json)."""
     L = spec.num_limbs
-    orig_shape = args[0].shape
-    flats = [a.reshape(L, -1) for a in args]
-    n = max(f.shape[1] for f in flats)
-    flats = [jnp.broadcast_to(f, (L, n)) for f in flats]
+    shape = jnp.broadcast_shapes(*(a.shape for a in args))
+    assert shape[0] == L, f"limb axis mismatch: {shape} vs L={L}"
+    orig_shape = shape
+    flats = [jnp.broadcast_to(a, shape).reshape(L, -1) for a in args]
+    n = flats[0].shape[1]
     chunk = 128 * block_rows
     pad = (-n) % chunk
     if pad:
@@ -88,6 +99,7 @@ def _block_call(body_nargs, body, spec, block_rows, *args):
         grid=(rows // block_rows,),
         in_specs=[bspec] * len(views),
         out_specs=bspec,
+        interpret=INTERPRET,
     )(*views)
     out = out.reshape(L, rows * 128)
     if pad:
@@ -118,10 +130,21 @@ def neg(a, spec: FieldSpec, block_rows: int = DEFAULT_BLOCK_ROWS):
 def mul_many(pairs, spec: FieldSpec):
     """Batch several independent Montgomery products into ONE kernel launch
     by concatenating along the batch axis: [(a, b), ...] -> [a*b, ...].
-    Used by tower multiplication (Karatsuba legs) to keep the VPU fed."""
-    shapes = [a.shape for a, _ in pairs]
-    flat_a = jnp.concatenate([a.reshape(spec.num_limbs, -1) for a, _ in pairs], axis=1)
-    flat_b = jnp.concatenate([b.reshape(spec.num_limbs, -1) for _, b in pairs], axis=1)
+    Used by tower multiplication (Karatsuba legs) to keep the VPU fed.
+
+    Each pair is broadcast to its own common batch shape first — pairs may
+    have mismatched operand shapes (e.g. bucket (L, lanes, W, 1) times point
+    (L, lanes, 1, 1) in MSM accumulation)."""
+    L = spec.num_limbs
+    shapes = [jnp.broadcast_shapes(a.shape, b.shape) for a, b in pairs]
+    flat_a = jnp.concatenate(
+        [jnp.broadcast_to(a, s).reshape(L, -1) for (a, _), s in zip(pairs, shapes)],
+        axis=1,
+    )
+    flat_b = jnp.concatenate(
+        [jnp.broadcast_to(b, s).reshape(L, -1) for (_, b), s in zip(pairs, shapes)],
+        axis=1,
+    )
     out = mont_mul(flat_a, flat_b, spec)
     res = []
     ofs = 0
