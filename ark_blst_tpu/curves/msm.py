@@ -43,7 +43,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import tower as T
-from ..ops.limbs import FR, LIMB_BITS
+from ..ops.limbs import FP, FR, LIMB_BITS
 from .group import CurveOps, G1, G2
 
 SCALAR_BITS = FR.num_limbs * LIMB_BITS  # 256
@@ -69,20 +69,24 @@ def _tree_put(pt, idx, val):
 
 
 def window_digits(scalars, c: int):
-    """(16, N) plain FR limbs -> (W, N) window digits, W = 256/c.
+    """(16, N) plain FR limbs -> (W, N) window digits, W = ceil(256/c).
 
-    c must divide LIMB_BITS (16); digits are little-endian windows, the same
-    slicing the reference's GPU kernel performs on 32-bit limbs
-    (/root/reference/src/gpu.rs:138-146).
+    Any window size 1..16 (digit j spans bits [j*c, j*c+c), possibly
+    straddling a 16-bit limb boundary) — the same slicing the reference's
+    GPU kernel performs on 32-bit limbs (/root/reference/src/gpu.rs:138-146)
+    generalized so the window can be tuned to the memory budget.
     """
-    assert LIMB_BITS % c == 0
-    per_limb = LIMB_BITS // c
+    assert 1 <= c <= LIMB_BITS
+    W = (SCALAR_BITS + c - 1) // c
     mask = jnp.uint32((1 << c) - 1)
-    digs = [
-        (scalars[i] >> (c * j)) & mask
-        for i in range(FR.num_limbs)
-        for j in range(per_limb)
-    ]
+    digs = []
+    for j in range(W):
+        lo_bit = j * c
+        k, off = divmod(lo_bit, LIMB_BITS)
+        d = scalars[k] >> off
+        if off + c > LIMB_BITS and k + 1 < FR.num_limbs:
+            d = d | (scalars[k + 1] << (LIMB_BITS - off))
+        digs.append(d & mask)
     return jnp.stack(digs)  # (W, N) little-endian windows
 
 
@@ -251,10 +255,40 @@ def msm(points, scalars, curve: CurveOps = G1, c: int = 8, lanes: int = 128,
     return fn(points, scalars, curve=curve, c=c, lanes=lanes, fuse=use_jit)
 
 
+def msm_auto(points, scalars, curve: CurveOps = G1, hbm_budget_bytes: int = 6 << 30,
+             use_jit: bool | None = None):
+    """MSM with (c, lanes) chosen by the memory-budgeted planner
+    (config.plan_msm) — the completed analog of the reference's
+    `calc_chunk_size` + window heuristic (/root/reference/src/gpu.rs:64-85,
+    218-223)."""
+    from ..config import plan_msm
+
+    limbs = FP.num_limbs * (2 if curve.name == "g2" else 1)
+    plan = plan_msm(max(1, scalars.shape[-1]), hbm_budget_bytes, coords=3, limbs=limbs)
+    return msm(points, scalars, curve=curve, c=plan.c, lanes=plan.lanes,
+               use_jit=use_jit)
+
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class _VaryingCurve(CurveOps):
+    """CurveOps whose identity constants are `lax.pvary`-lifted to the
+    shard_map mesh axis, so scan carries type-check as device-varying
+    (check_vma stays ON, unlike round 1's check_vma=False escape hatch)."""
+
+    vary: object = None
+
+    def identity(self, batch_shape):
+        return self.vary(CurveOps.identity(self, batch_shape))
+
+
 def msm_sharded(points, scalars, mesh: Mesh, curve: CurveOps = G1,
                 c: int = 8, lanes: int = 128, axis: str = "data"):
     """Multi-chip MSM: points sharded over `mesh` axis `axis`; per-device
-    bucket pipeline; window sums combined with an all_gather + log-fold.
+    bucket pipeline inside shard_map producing per-device window partials;
+    cross-device fold + Horner outside (XLA inserts the gather over ICI).
 
     The multi-device axis the reference never built
     (/root/reference/src/gpu.rs:233-240 hardcodes one GPU and leaves
@@ -263,29 +297,26 @@ def msm_sharded(points, scalars, mesh: Mesh, curve: CurveOps = G1,
     ndev = mesh.shape[axis]
 
     def local(pts, scs):
-        sums = _msm_local(curve, pts, scs, c, lanes)  # fused: inside jit
-        # (W,) partial sums per device -> gather to (ndev, W) and fold.
-        gathered = jax.tree.map(
-            lambda x: lax.all_gather(x, axis, axis=1), sums
-        )  # leaves (L, ndev, W)
-        folded = _fold_axis(curve, gathered, ndev)  # batch (W,)
-        return _horner(curve, folded, c)
+        vary = lambda t: jax.tree.map(lambda x: lax.pvary(x, axis), t)
+        vcurve = _VaryingCurve(curve.name, curve.f, vary)
+        sums = _msm_local(vcurve, pts, scs, c, lanes)  # leaves (L, W)
+        # add a leading per-device axis so out_specs can shard on it
+        return jax.tree.map(lambda x: x[:, None], sums)  # (L, 1, W)
 
     pspec = jax.tree.map(lambda _: P(None, axis), points)
-    fn = jax.jit(
-        jax.shard_map(
+
+    @jax.jit
+    def run(points, scalars):
+        partials = jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(pspec, P(None, axis)),
-            out_specs=jax.tree.map(lambda _: P(), points),
-            # constant-valued scan carries (bucket identities) are unvarying
-            # while the accumulated carry varies per shard; skip the
-            # varying-manual-axes type check rather than pvary-ing every
-            # identity constant deep inside the pipeline.
-            check_vma=False,
-        )
-    )
-    return fn(points, scalars)
+            out_specs=jax.tree.map(lambda _: P(None, axis, None), points),
+        )(points, scalars)  # leaves (L, ndev, W) — replicated after exit
+        folded = _fold_axis(curve, partials, ndev)  # batch (W,)
+        return _horner(curve, folded, c)
+
+    return run(points, scalars)
 
 
 def msm_naive(points, scalars, curve: CurveOps = G1):

@@ -94,8 +94,8 @@ def _addition_step(r, q):
     t2 = T.fp2_sub(t0, x)
     t3 = T.fp2_sqr(t2)
     t4 = T.fp2_mul_small(t3, 4)
-    t5, t9, t7 = T.fp2_mul_many([(t4, t2), (T.fp2_sub(t1, T.fp2_mul_small(y, 2)), qx), (t4, x)])
     t6 = T.fp2_sub(t1, T.fp2_mul_small(y, 2))
+    t5, t9, t7 = T.fp2_mul_many([(t4, t2), (t6, qx), (t4, x)])
     nx = T.fp2_sub(T.fp2_sub(T.fp2_sqr(t6), t5), T.fp2_mul_small(t7, 2))
     nz = T.fp2_sub(T.fp2_sub(T.fp2_sqr(T.fp2_add(z, t2)), zsq), t3)
     t10 = T.fp2_add(qy, nz)
@@ -188,7 +188,6 @@ def cyclotomic_exp_x_conj(f, fuse=None):
     """f^(-x) = conj(f^|x|) in the cyclotomic subgroup (x < 0 for BLS12-381);
     square-and-multiply over the static 64-bit |x| ladder."""
     fuse = _auto_fuse(fuse)
-    sh = f[0][0][0].shape[1:]
 
     if not fuse:
         r = f
