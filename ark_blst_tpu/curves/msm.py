@@ -90,6 +90,35 @@ def window_digits(scalars, c: int):
     return jnp.stack(digs)  # (W, N) little-endian windows
 
 
+def window_digits_signed(scalars, c: int):
+    """(16, N) plain FR limbs -> (W+1, N) SIGNED window digits packed as
+    `magnitude | (sign << 15)`, magnitude in [0, 2^(c-1)].
+
+    Standard signed-window transform: digit d and carry k satisfy
+    raw_j + k_j = d_j + 2^c * k_{j+1} with d_j in [-2^(c-1), 2^(c-1)),
+    except d_j = +2^(c-1) is kept positive (magnitude fits either way), so
+    the bucket array shrinks to 2^(c-1)+1 entries and the point is
+    conditionally negated instead — profitable exactly because group
+    negation is free (`NEGATION_IS_CHEAP`, /root/reference/src/g1.rs:593-600).
+    One extra top window absorbs the final carry.
+    """
+    assert 2 <= c <= LIMB_BITS - 1
+    raw = window_digits(scalars, c)  # (W, N)
+    W = raw.shape[0]
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    digs = []
+    carry = jnp.zeros_like(raw[0])
+    for j in range(W):
+        d = raw[j] + carry  # <= 2^c - 1 + 1 = 2^c
+        neg = d > half  # use negative digit d - 2^c
+        mag = jnp.where(neg, full - d, d)
+        carry = neg.astype(jnp.uint32)
+        digs.append(mag | (neg.astype(jnp.uint32) << 15))
+    digs.append(carry)  # top window: 0 or 1, always positive
+    return jnp.stack(digs)  # (W+1, N)
+
+
 def _scan(body, init, xs, length: int, fuse: bool):
     """lax.scan when fusing (TPU jit path); eager Python loop otherwise.
 

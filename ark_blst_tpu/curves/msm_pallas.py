@@ -232,10 +232,25 @@ def _kernel_curve(curve: CurveOps) -> _KernelCurve:
 
 # --- the kernel ----------------------------------------------------------------
 
-def _make_kernel(kc: _KernelCurve, B: int, t_blocks: int):
+def _list_select(mask, a, b):
+    """Elementwise select on list-level field values (fp lists or fp2 tuples)."""
+    if isinstance(a, tuple):
+        return tuple(_list_select(mask, x, y) for x, y in zip(a, b))
+    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+
+
+SIGN_BIT = 15  # window_digits_signed packs sign at bit 15
+MAG_MASK = (1 << SIGN_BIT) - 1
+
+
+def _make_kernel(kc: _KernelCurve, B: int, t_blocks: int, signed: bool):
     """Bucket ACCUMULATION only (gather/add/scatter against VMEM scratch);
     the bucket array is dumped to HBM on the last point-block and reduced at
-    the XLA level — keeps the Mosaic kernel small enough to compile fast."""
+    the XLA level — keeps the Mosaic kernel small enough to compile fast.
+
+    With `signed`, the digit stream is `mag | sign<<15` and the point is
+    negated (free: flip Y) when the digit is negative — halves the bucket
+    count for a given window size."""
     rows = kc.rows
     kcurve = kc.ops((SLOTS, LANES))
 
@@ -256,7 +271,10 @@ def _make_kernel(kc: _KernelCurve, B: int, t_blocks: int):
             )
             buckets[:] = jnp.broadcast_to(mat[None], (B, rows, SLOTS, LANES))
 
-        idx = digs_ref[0, 0]  # (8, 128) u32 bucket index per stream
+        idx = digs_ref[0, 0]  # (8, 128) u32 digit per stream
+        if signed:
+            sign = (idx >> SIGN_BIT) != 0
+            idx = idx & jnp.uint32(MAG_MASK)
         bio = lax.broadcasted_iota(jnp.uint32, (B, 1, SLOTS, LANES), 0)
         mask = bio == idx[None, None]
 
@@ -269,6 +287,9 @@ def _make_kernel(kc: _KernelCurve, B: int, t_blocks: int):
         ).astype(jnp.uint32)  # (rows, 8, 128)
         cur = kc.rows_to_point([cur_mat[i] for i in range(rows)])
         ptv = kc.rows_to_point([pts_ref[0, i] for i in range(rows)])
+        if signed:
+            x, y, z = ptv
+            ptv = (x, _list_select(sign, kcurve.f.neg(y), y), z)
         new = kcurve.add(cur, ptv)
         new_mat = jnp.stack(kc.point_to_rows(new))  # (rows, 8, 128)
         buckets[:] = jnp.where(mask, new_mat[None], bks)
@@ -285,15 +306,15 @@ def _make_kernel(kc: _KernelCurve, B: int, t_blocks: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("kc", "c"))
-def _accumulate(pts_arr, digs_arr, kc: _KernelCurve, c: int):
+@functools.partial(jax.jit, static_argnames=("kc", "c", "signed"))
+def _accumulate(pts_arr, digs_arr, kc: _KernelCurve, c: int, signed: bool):
     """pts_arr (T, rows, 8, 128); digs_arr (W, T, 8, 128) ->
     buckets (W, B, rows, 8, 128)."""
     W, T = digs_arr.shape[0], digs_arr.shape[1]
-    B = 1 << c
+    B = _num_buckets(c, signed)
     rows = kc.rows
     grid = (W, T)
-    kernel = _make_kernel(kc, B, T)
+    kernel = _make_kernel(kc, B, T, signed)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((W, B, rows, SLOTS, LANES), jnp.uint32),
@@ -327,20 +348,28 @@ def _pack_points(points, kc: _KernelCurve, n: int):
     return jnp.transpose(mat.reshape(kc.rows, T, SLOTS, LANES), (1, 0, 2, 3))
 
 
-@functools.partial(jax.jit, static_argnames=("curve", "c", "max_windows"))
+def _num_buckets(c: int, signed: bool) -> int:
+    return (1 << (c - 1)) + 1 if signed else 1 << c
+
+
+@functools.partial(
+    jax.jit, static_argnames=("curve", "c", "max_windows", "signed")
+)
 def _msm_pallas_jit(points, scalars, curve: CurveOps, c: int,
-                    max_windows: int | None):
+                    max_windows: int | None, signed: bool):
     kc = _kernel_curve(curve)
-    B = 1 << c
+    B = _num_buckets(c, signed)
     n = scalars.shape[-1]
-    digits = M.window_digits(scalars, c)  # (W, n)
+    digits = (
+        M.window_digits_signed(scalars, c) if signed else M.window_digits(scalars, c)
+    )
     if max_windows is not None:
         digits = digits[:max_windows]
     W = digits.shape[0]
     T = n // TILE
     pts_arr = _pack_points(points, kc, n)
     digs_arr = digits.reshape(W, T, SLOTS, LANES)
-    buckets = _accumulate(pts_arr, digs_arr, kc, c)  # (W, B, rows, 8, 128)
+    buckets = _accumulate(pts_arr, digs_arr, kc, c, signed)  # (W, B, rows, 8, 128)
 
     # unpack to coord leaves with batch (TILE, W, B)
     mat = jnp.transpose(buckets, (2, 3, 4, 0, 1)).reshape(kc.rows, TILE, W, B)
@@ -363,8 +392,8 @@ def _msm_pallas_jit(points, scalars, curve: CurveOps, c: int,
     return M._horner(curve, wsums, c, fuse=True)
 
 
-def msm_pallas(points, scalars, curve: CurveOps = G1, c: int = 4,
-               max_windows: int | None = None):
+def msm_pallas(points, scalars, curve: CurveOps = G1, c: int = 5,
+               max_windows: int | None = None, signed: bool = True):
     """Single-chip Pippenger MSM with the VMEM bucket kernel; the whole
     pipeline (digit slice, kernel, fold, bucket reduce, Horner) is ONE jit
     program — per-op dispatch over the remote-TPU tunnel is the dominant
@@ -372,17 +401,19 @@ def msm_pallas(points, scalars, curve: CurveOps = G1, c: int = 4,
 
     points: projective batch (leaves (L, N)); scalars: (16, N) plain FR
     limbs. Returns a projective point with batch shape (1,). Window size `c`
-    is small by design (one-hot bucket access is O(2^c) per point): c=4..5.
+    is small by design (one-hot bucket access is O(buckets) per point);
+    signed digits halve the bucket count, so c=5..6 signed are the sweet
+    spots (G1; G2's doubled rows halve the VMEM budget).
 
     `max_windows` truncates the window schedule — ONLY sound when every
-    scalar < 2^(c*max_windows); used by interpret-mode tests to keep the
-    grid small.
+    scalar < 2^(c*(max_windows-1)); used by interpret-mode tests to keep
+    the grid small.
     """
     kc = _kernel_curve(curve)
-    B = 1 << c
+    B = _num_buckets(c, signed)
     assert B * kc.rows * SLOTS * LANES * 4 <= 12 << 20, "bucket scratch exceeds VMEM"
     points, scalars = M._pad_inputs(curve, points, scalars, TILE)
-    return _msm_pallas_jit(points, scalars, curve, c, max_windows)
+    return _msm_pallas_jit(points, scalars, curve, c, max_windows, signed)
 
 
 def _fold_leading(curve: CurveOps, pt, size: int):

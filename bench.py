@@ -35,9 +35,25 @@ def _timed(fn, reps):
     return (time.perf_counter() - t0) / reps, out
 
 
+def _enable_compile_cache():
+    """Persistent XLA/Mosaic compile cache: the MSM kernel program takes
+    ~10 min to compile on the remote TPU; cached reruns skip it."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def main():
     import jax
 
+    _enable_compile_cache()
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 

@@ -46,12 +46,13 @@ def main(which="g1", n=64, c=4):
         )
         gen = OF.G2_GEN
 
-    # scalars < 2^(4c) so max_windows=4 is sound — keeps interpret mode fast
+    # scalars < 2^(3c) so max_windows=4 is sound for signed digits (one
+    # carry window) — keeps interpret mode fast
     pts = [mul(gen, rng.randrange(1, OF.R)) for _ in range(8)]
     pts = [pts[i % 8] for i in range(n)]
     pts[3] = None  # identity input
-    scs = [rng.randrange(1 << (4 * c)) for _ in range(n)]
-    scs[3] = rng.randrange(1 << (4 * c))
+    scs = [rng.randrange(1 << (3 * c)) for _ in range(n)]
+    scs[3] = rng.randrange(1 << (3 * c))
 
     points = to_dev(pts)
     scalars = CV.fr_to_dev(scs)

@@ -10,6 +10,12 @@ import time
 
 sys.path.insert(0, ".")
 
+import jax as _jax
+_jax.config.update("jax_compilation_cache_dir", __import__("os").path.join(__import__("os").path.dirname(__import__("os").path.abspath(__file__)), "..", ".jax_cache"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 
 def main():
     import jax

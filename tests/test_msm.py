@@ -87,3 +87,25 @@ def test_msm_sharded_8dev():
         CV.g1_to_dev(pts), CV.fr_to_dev(scs), mesh, curve=G1, c=4, lanes=2
     )
     assert CV.g1_from_dev(out) == [expected]
+
+
+def test_window_digits_signed_reconstruct():
+    """Signed digits (mag | sign<<15) must reconstruct the scalar exactly:
+    sum_j (+-mag_j) 2^(cj) == s, magnitudes <= 2^(c-1)."""
+    import numpy as np
+
+    from ark_blst_tpu.ops import convert as CV
+
+    rng = random.Random(77)
+    scs = [0, 1, OF.R - 1, (1 << 255) - 1] + [rng.randrange(OF.R) for _ in range(8)]
+    for c in (4, 5, 6):
+        digs = np.asarray(M.window_digits_signed(CV.fr_to_dev(scs), c))
+        assert digs.shape[0] == (256 + c - 1) // c + 1
+        for i, s in enumerate(scs):
+            total = 0
+            for j in range(digs.shape[0]):
+                d = int(digs[j, i])
+                mag, sign = d & 0x7FFF, d >> 15
+                assert mag <= 1 << (c - 1)
+                total += (-mag if sign else mag) << (c * j)
+            assert total == s % OF.R, (c, i)  # fr_to_dev reduces mod r
