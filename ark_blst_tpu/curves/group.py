@@ -94,6 +94,15 @@ FP2_ADAPTER = FieldAdapter(
 )
 
 
+def _interleave(lo, hi):
+    """Inverse of the even/odd split: leaves (..., m) + (..., m) -> (..., 2m)."""
+    def ix(a, b):
+        stacked = jnp.stack([a, b], axis=-1)
+        return stacked.reshape(a.shape[:-1] + (2 * a.shape[-1],))
+
+    return jax.tree.map(ix, lo, hi)
+
+
 # --- curve ops ---------------------------------------------------------------
 
 @dataclass(frozen=True)
@@ -117,11 +126,54 @@ class CurveOps:
         )
 
     def to_affine(self, pt):
-        """Projective -> (x, y, inf_mask); identity maps to (0, 0, True)."""
+        """Projective -> (x, y, inf_mask); identity maps to (0, 0, True).
+
+        Uses Montgomery BATCH inversion over the trailing batch axis (the
+        `normalize_batch` analog, /root/reference/src/g1.rs:537-543): one
+        Fermat inversion for the whole batch instead of one per element."""
         x, y, z = pt
-        zinv = self.f.inv(z)  # 0 -> 0, so identity lands on (0, 0)
+        zinv = self.batch_inv(z)  # 0 -> 0, so identity lands on (0, 0)
         xa, ya = self.f.mul_many([(x, zinv), (y, zinv)])
         return xa, ya, self.is_identity(pt)
+
+    def batch_inv(self, v):
+        """Batched field inversion via a log-depth Montgomery product tree:
+        ~4N multiplies + ONE Fermat inversion, vs N Fermat inversions
+        (~380 sequential squarings each) elementwise. Zero maps to zero.
+
+        Up-sweep: pairwise products to the root (zeros masked to one);
+        root inverted once; down-sweep: each child's inverse = parent
+        inverse x sibling."""
+        f = self.f
+        shape = f.batch_shape(v)
+        if not shape:  # scalar batch: nothing to amortize
+            return f.inv(v)
+        n = shape[-1]
+        size = 1 << max(0, (n - 1)).bit_length()
+        zmask = f.is_zero(v)
+        v1 = T.select(zmask, f.one(shape), v)  # zeros -> 1 in the tree
+        if size != n:
+            pad = f.one(shape[:-1] + (size - n,))
+            v1 = jax.tree.map(
+                lambda a, p: jnp.concatenate([a, p], axis=-1), v1, pad
+            )
+        levels = [v1]
+        cur, m = v1, size
+        while m > 1:
+            lo = jax.tree.map(lambda a: a[..., 0::2], cur)
+            hi = jax.tree.map(lambda a: a[..., 1::2], cur)
+            (cur,) = f.mul_many([(lo, hi)])
+            levels.append(cur)
+            m //= 2
+        inv = f.inv(cur)  # one Fermat inversion, batch size 1
+        for lvl in reversed(levels[:-1]):
+            lo = jax.tree.map(lambda a: a[..., 0::2], lvl)
+            hi = jax.tree.map(lambda a: a[..., 1::2], lvl)
+            inv_lo, inv_hi = f.mul_many([(inv, hi), (inv, lo)])
+            inv = _interleave(inv_lo, inv_hi)
+        if size != n:
+            inv = jax.tree.map(lambda a: a[..., :n], inv)
+        return T.select(zmask, f.zero(shape), inv)
 
     # -- predicates --
 

@@ -77,10 +77,11 @@ def main():
         assert got == [expected], "MSM mismatch vs oracle"
         print("oracle check (full): OK")
     else:
+        # zero all but the first k scalars: reuses the SAME compiled program
         k = 64
+        scs_check = scs_host[:k] + [0] * (n - k)
         small = MP.msm_pallas(
-            jax.tree.map(lambda x: x[..., :k], points), scalars[:, :k],
-            curve=curve, c=c,
+            points, jax.device_put(CV.fr_to_dev(scs_check)), curve=curve, c=c
         )
         expected = OC.msm(ops, pts_host[:k], scs_host[:k])
         assert from_dev(small) == [expected], "MSM mismatch vs oracle"

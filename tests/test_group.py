@@ -71,3 +71,41 @@ def test_scalar_mul(name, curve, ops, gen, to_dev, from_dev):
     got = from_dev(curve.scalar_mul(dp, dk))
     exp = [OC.scalar_mul(ops, p, k) for p, k in zip(ps, ks)]
     assert got == exp
+
+
+def test_batch_inv_and_to_affine():
+    """Montgomery batch inversion (normalize_batch analog,
+    /root/reference/src/g1.rs:537-543): one inversion per batch, zeros map
+    to zero; to_affine round-trips incl. identity, odd batch sizes."""
+    import numpy as np
+
+    G1, G2 = G.G1, G.G2
+    rng = random.Random(21)
+    for curve, ops, gen, mul in (
+        (G1, OC.FP_OPS, OF.G1_GEN, OC.g1_mul),
+        (G2, OC.FP2_OPS, OF.G2_GEN, OC.g2_mul),
+    ):
+        n = 5  # odd: exercises padding
+        vals = [rng.randrange(1, OF.P) for _ in range(n)]
+        vals[2] = 0
+        if curve is G1:
+            dev = CV.fp_to_dev(vals)
+            inv = curve.batch_inv(dev)
+            got = CV.fp_from_dev(inv)
+            exp = [0 if v == 0 else pow(v, -1, OF.P) for v in vals]
+            assert got == exp
+        pts = [mul(gen, rng.randrange(1, OF.R)) for _ in range(n)]
+        pts[1] = None
+        dev_pts = (CV.g1_to_dev if curve is G1 else CV.g2_to_dev)(pts)
+        # scale Z to make projective coords nontrivial
+        x, y, z = dev_pts
+        xa, ya, inf = curve.to_affine((x, y, z))
+        inf = np.asarray(inf)
+        back = []
+        if curve is G1:
+            xs, ys = CV.fp_from_dev(xa), CV.fp_from_dev(ya)
+        else:
+            xs, ys = CV.fp2_from_dev(xa), CV.fp2_from_dev(ya)
+        for i in range(n):
+            back.append(None if inf[i] else (xs[i], ys[i]))
+        assert back == pts
