@@ -286,10 +286,20 @@ def msm(points, scalars, curve: CurveOps = G1, c: int = 8, lanes: int = 128,
 
 def msm_auto(points, scalars, curve: CurveOps = G1, hbm_budget_bytes: int = 6 << 30,
              use_jit: bool | None = None):
-    """MSM with (c, lanes) chosen by the memory-budgeted planner
-    (config.plan_msm) — the completed analog of the reference's
+    """MSM with the execution strategy chosen automatically.
+
+    On TPU: the VMEM-bucket Pallas kernel (msm_pallas) with the largest
+    signed window whose bucket array fits VMEM (G1: c=6, G2: c=5). Off-TPU:
+    this scan-based pipeline with (c, lanes) from the memory-budgeted
+    planner (config.plan_msm) — the completed analog of the reference's
     `calc_chunk_size` + window heuristic (/root/reference/src/gpu.rs:64-85,
     218-223)."""
+    if jax.default_backend() == "tpu":
+        from .msm_pallas import msm_pallas
+
+        return msm_pallas(
+            points, scalars, curve=curve, c=6 if curve.name == "g1" else 5
+        )
     from ..config import plan_msm
 
     limbs = FP.num_limbs * (2 if curve.name == "g2" else 1)

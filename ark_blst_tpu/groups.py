@@ -236,8 +236,17 @@ class _ProjectiveMixin:
             points, curve, back = CV.g1_to_dev(pts), _G1_CURVE(), CV.g1_from_dev
         else:
             points, curve, back = CV.g2_to_dev(pts), _G2_CURVE(), CV.g2_from_dev
-        out = M.msm(points, CV.fr_to_dev(ss), curve=curve,
-                    c=c, lanes=min(lanes, max(1, len(bases))))
+        scalars = CV.fr_to_dev(ss)
+        if jax.default_backend() == "tpu":
+            # VMEM-bucket Pallas kernel (curves/msm_pallas.py): signed
+            # windows, c=6 for G1, c=5 for G2 (VMEM budget)
+            from .curves import msm_pallas as MP
+
+            kc = 6 if cls._ops is OC.FP_OPS else 5
+            out = MP.msm_pallas(points, scalars, curve=curve, c=kc)
+        else:
+            out = M.msm(points, scalars, curve=curve,
+                        c=c, lanes=min(lanes, max(1, len(bases))))
         return cls(back(out)[0])
 
 
