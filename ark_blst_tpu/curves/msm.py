@@ -285,20 +285,23 @@ def msm(points, scalars, curve: CurveOps = G1, c: int = 8, lanes: int = 128,
 
 
 def msm_auto(points, scalars, curve: CurveOps = G1, hbm_budget_bytes: int = 6 << 30,
-             use_jit: bool | None = None):
+             use_jit: bool | None = None, maybe_abort=None):
     """MSM with the execution strategy chosen automatically.
 
-    On TPU: the VMEM-bucket Pallas kernel (msm_pallas) with the largest
-    signed window whose bucket array fits VMEM (G1: c=6, G2: c=5). Off-TPU:
-    this scan-based pipeline with (c, lanes) from the memory-budgeted
-    planner (config.plan_msm) — the completed analog of the reference's
-    `calc_chunk_size` + window heuristic (/root/reference/src/gpu.rs:64-85,
-    218-223)."""
+    On TPU: the VMEM-bucket Pallas kernel with the largest signed window
+    whose bucket array fits VMEM (G1: c=6, G2: c=5), via the HBM-budgeted
+    chunked driver (msm_pallas_chunked) — one compiled chunk program reused
+    for any n, with the `maybe_abort` cancellation hook honored between
+    chunk dispatches. Off-TPU: the scan-based pipeline with (c, lanes) from
+    the memory-budgeted planner (config.plan_msm) — the completed analog of
+    the reference's `calc_chunk_size` + window heuristic
+    (/root/reference/src/gpu.rs:64-85, 218-223)."""
     if jax.default_backend() == "tpu":
-        from .msm_pallas import msm_pallas
+        from .msm_pallas import msm_pallas_chunked
 
-        return msm_pallas(
-            points, scalars, curve=curve, c=6 if curve.name == "g1" else 5
+        return msm_pallas_chunked(
+            points, scalars, curve=curve,
+            hbm_budget_bytes=hbm_budget_bytes, maybe_abort=maybe_abort,
         )
     from ..config import plan_msm
 

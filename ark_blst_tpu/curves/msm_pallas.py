@@ -355,8 +355,12 @@ def _num_buckets(c: int, signed: bool) -> int:
 @functools.partial(
     jax.jit, static_argnames=("curve", "c", "max_windows", "signed")
 )
-def _msm_pallas_jit(points, scalars, curve: CurveOps, c: int,
-                    max_windows: int | None, signed: bool):
+def _window_sums_jit(points, scalars, curve: CurveOps, c: int,
+                     max_windows: int | None, signed: bool):
+    """Everything up to (but not including) the Horner fold: digit slice,
+    bucket kernel, stream fold, bucket suffix-sum. Returns window sums with
+    batch shape (W,). Split out so the chunked driver can reuse ONE
+    compiled program per fixed chunk shape across arbitrarily large n."""
     kc = _kernel_curve(curve)
     B = _num_buckets(c, signed)
     n = scalars.shape[-1]
@@ -388,7 +392,15 @@ def _msm_pallas_jit(points, scalars, curve: CurveOps, c: int,
     # batch per round — half the adds of reduce-then-fold), then suffix-sum
     # the B buckets per window, then Horner over windows.
     folded = _fold_leading(curve, pt, TILE)  # batch (W, B)
-    wsums = M._bucket_reduce(curve, folded, fuse=True)  # batch (W,)
+    return M._bucket_reduce(curve, folded, fuse=True)  # batch (W,)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("curve", "c", "max_windows", "signed")
+)
+def _msm_pallas_jit(points, scalars, curve: CurveOps, c: int,
+                    max_windows: int | None, signed: bool):
+    wsums = _window_sums_jit(points, scalars, curve, c, max_windows, signed)
     return M._horner(curve, wsums, c, fuse=True)
 
 
@@ -414,6 +426,85 @@ def msm_pallas(points, scalars, curve: CurveOps = G1, c: int = 5,
     assert B * kc.rows * SLOTS * LANES * 4 <= 12 << 20, "bucket scratch exceeds VMEM"
     points, scalars = M._pad_inputs(curve, points, scalars, TILE)
     return _msm_pallas_jit(points, scalars, curve, c, max_windows, signed)
+
+
+class MsmAborted(RuntimeError):
+    """Raised when a `maybe_abort` callback requests cancellation between
+    chunk dispatches — the TPU analog of ec-gpu's EcError::Aborted
+    (/root/reference/src/gpu.rs:58,133-137)."""
+
+
+def _num_windows(c: int, signed: bool) -> int:
+    # matches msm.window_digits{,_signed}: signed digits append one carry window
+    return (256 + c - 1) // c + (1 if signed else 0)
+
+
+def plan_chunk(kc: _KernelCurve, c: int, signed: bool = True,
+               hbm_budget_bytes: int = 8 << 30) -> int:
+    """Largest power-of-two chunk (multiple of TILE) whose per-launch HBM
+    footprint fits the budget — the completed analog of the reference's
+    `calc_chunk_size` (/root/reference/src/gpu.rs:64-85), whose multi-chunk
+    execution was left as a TODO (src/gpu.rs:238-240).
+
+    Footprint per launch of C points: input coord leaves (C*rows*4) + the
+    packed/transposed copy (same) + digits (W*C*4) + the fixed bucket dump
+    and its transposed unpack (2 * W*B*rows*TILE*4)."""
+    W = _num_windows(c, signed)
+    B = _num_buckets(c, signed)
+    fixed = 2 * W * B * kc.rows * TILE * 4
+    per_point = 2 * kc.rows * 4 + W * 4
+    budget = hbm_budget_bytes - fixed
+    assert budget > per_point * TILE, "HBM budget below one tile"
+    chunk = TILE
+    while chunk * 2 * per_point <= budget:
+        chunk *= 2
+    return chunk
+
+
+@functools.partial(jax.jit, static_argnames=("curve",))
+def _add_wsums(total, ws, curve: CurveOps):
+    return curve.add(total, ws)
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "c"))
+def _horner_jit(wsums, curve: CurveOps, c: int):
+    return M._horner(curve, wsums, c, fuse=True)
+
+
+def msm_pallas_chunked(points, scalars, curve: CurveOps = G1, c: int | None = None,
+                       signed: bool = True, chunk: int | None = None,
+                       hbm_budget_bytes: int = 8 << 30, maybe_abort=None):
+    """HBM-budgeted multi-chunk MSM: the input is split into fixed-shape
+    chunks, each run through `_window_sums_jit` (ONE compiled program,
+    reused for every chunk and every total size n), window sums accumulated
+    on device, Horner applied once at the end.
+
+    This completes the two things the reference's GPU driver left undone:
+    multi-chunk execution (/root/reference/src/gpu.rs:238-240 TODO) and the
+    cancellation hook between dispatches (`maybe_abort`,
+    src/gpu.rs:58,133-137): pass a zero-arg callable; a truthy return
+    raises MsmAborted before the next chunk is dispatched."""
+    kc = _kernel_curve(curve)
+    if c is None:
+        c = 6 if kc.name == "g1" else 5
+    if chunk is None:
+        chunk = plan_chunk(kc, c, signed, hbm_budget_bytes)
+    assert chunk % TILE == 0, "chunk must be a multiple of the point tile"
+    n = scalars.shape[-1]
+    if n <= chunk and maybe_abort is None:
+        return msm_pallas(points, scalars, curve=curve, c=c, signed=signed)
+    points, scalars = M._pad_inputs(curve, points, scalars, chunk)
+    n_chunks = scalars.shape[-1] // chunk
+    total = None
+    for i in range(n_chunks):
+        if maybe_abort is not None and maybe_abort():
+            raise MsmAborted(f"aborted before chunk {i}/{n_chunks}")
+        sl = lambda x: lax.slice_in_dim(x, i * chunk, (i + 1) * chunk, axis=-1)
+        ws = _window_sums_jit(
+            jax.tree.map(sl, points), sl(scalars), curve, c, None, signed
+        )
+        total = ws if total is None else _add_wsums(total, ws, curve=curve)
+    return _horner_jit(total, curve=curve, c=c)
 
 
 def _fold_leading(curve: CurveOps, pt, size: int):

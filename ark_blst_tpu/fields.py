@@ -90,6 +90,13 @@ class _FieldElement:
     def __repr__(self):
         return f"{self._name}({self.v!r})"
 
+    def __int__(self):
+        """Canonical integer value — the `PrimeField::into_bigint` analog
+        (/root/reference/src/fp.rs:494-521); prime fields only."""
+        if not isinstance(self.v, int):
+            raise TypeError(f"{self._name} is not a prime field element")
+        return self.v
+
     def _coerce(self, other):
         if isinstance(other, type(self)):
             return other.v

@@ -209,7 +209,7 @@ class _ProjectiveMixin:
 
     @classmethod
     def msm(cls, bases, scalars, backend: str | None = None, c: int = 8,
-            lanes: int = 128):
+            lanes: int = 128, maybe_abort=None):
         """Variable-base MSM (= `VariableBaseMSM::msm`,
         /root/reference/src/g1.rs:602-632). `bases` are affine or projective
         points, `scalars` Scalar/int. Identity inputs are fine (blst's
@@ -239,11 +239,14 @@ class _ProjectiveMixin:
         scalars = CV.fr_to_dev(ss)
         if jax.default_backend() == "tpu":
             # VMEM-bucket Pallas kernel (curves/msm_pallas.py): signed
-            # windows, c=6 for G1, c=5 for G2 (VMEM budget)
+            # windows, c=6 for G1, c=5 for G2 (VMEM budget); HBM-budgeted
+            # chunking + cancellation between chunk dispatches
             from .curves import msm_pallas as MP
 
             kc = 6 if cls._ops is OC.FP_OPS else 5
-            out = MP.msm_pallas(points, scalars, curve=curve, c=kc)
+            out = MP.msm_pallas_chunked(
+                points, scalars, curve=curve, c=kc, maybe_abort=maybe_abort
+            )
         else:
             out = M.msm(points, scalars, curve=curve,
                         c=c, lanes=min(lanes, max(1, len(bases))))
