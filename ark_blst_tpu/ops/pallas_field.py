@@ -4,8 +4,8 @@ The list-based limb engine in `fieldops.py` is pure elementwise dataflow, so
 the same Python code traces inside a Pallas kernel, where all ~1500 limb
 products and carry chains run on VMEM-resident (sublane, lane) tiles — one
 HBM read per operand and one write per result, the speed-of-light memory
-pattern for these ops. Measured ~310 M Fp-mul/s on a TPU v5e chip vs ~25 M
-for the same dataflow left to XLA fusion.
+pattern for these ops. Measured throughput is recorded in PERF.md
+(reproduce with `python scripts/tpu_microbench.py fpmul`).
 
 Layout: stacked limb-major (L, N) uint32 arrays are viewed as
 (L, N/128, 128) so each limb plane is a stack of full (sublane, lane) tiles.
