@@ -1,0 +1,69 @@
+"""Multi-host runtime: jax.distributed + global mesh + pod-sharded MSM.
+
+The reference has NO distributed story — its GPU path hardcodes one device
+(`Device::all()[0]`, /root/reference/src/gpu.rs:233-234) and has no comms
+backend at all (SURVEY.md §2d). This module is the TPU-native completion of
+that axis: each host process joins a `jax.distributed` cluster, a global
+`Mesh` spans every chip in the slice, and the MSM shards points over it —
+per-device bucket accumulation inside `shard_map`, partial window sums
+combined over ICI (intra-host / intra-slice links) and DCN (cross-slice) by
+XLA collectives, exactly the plan SURVEY.md §2c.2/§2d prescribes.
+
+Single-process use (tests, one chip) works unchanged: `initialize()` with
+`num_processes=1` is a real jax.distributed cluster of one, and
+`global_mesh()` simply covers the local devices.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh
+
+from .curves.group import CurveOps, G1
+from .curves.msm import msm_sharded
+
+_initialized = False
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Join (or form) the jax.distributed cluster.
+
+    On TPU pods the three arguments are inferred from the environment and
+    may be omitted; pass them explicitly for manual clusters (e.g.
+    `initialize("10.0.0.1:8476", num_processes=4, process_id=rank)`).
+    Idempotent within a process.
+    """
+    global _initialized
+    if _initialized:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _initialized = True
+
+
+def global_mesh(axis: str = "data") -> Mesh:
+    """1-D mesh over EVERY device in the cluster (all hosts' chips).
+
+    `jax.devices()` is cluster-global after `initialize()`, so collectives
+    compiled over this mesh ride ICI within a slice and DCN across slices —
+    XLA picks the transport per link; the program is topology-agnostic.
+    """
+    devs = jax.devices()
+    return Mesh(devs, (axis,))
+
+
+def msm_distributed(points, scalars, curve: CurveOps = G1, c: int = 8,
+                    lanes: int = 128, mesh: Mesh | None = None,
+                    axis: str = "data"):
+    """Pod-scale MSM: points sharded over the global mesh, per-device
+    Pippenger window partials, cross-device fold + Horner (curves/msm.py
+    `msm_sharded`). The multi-device axis the reference never built."""
+    if mesh is None:
+        mesh = global_mesh(axis)
+    return msm_sharded(points, scalars, mesh, curve=curve, c=c, lanes=lanes,
+                       axis=axis)
