@@ -316,7 +316,7 @@ from dataclasses import dataclass as _dataclass
 
 @_dataclass(frozen=True)
 class _VaryingCurve(CurveOps):
-    """CurveOps whose identity constants are `lax.pvary`-lifted to the
+    """CurveOps whose identity constants are pcast-lifted (to='varying') to the
     shard_map mesh axis, so scan carries type-check as device-varying
     (check_vma stays ON, unlike round 1's check_vma=False escape hatch)."""
 
@@ -339,7 +339,9 @@ def msm_sharded(points, scalars, mesh: Mesh, curve: CurveOps = G1,
     ndev = mesh.shape[axis]
 
     def local(pts, scs):
-        vary = lambda t: jax.tree.map(lambda x: lax.pvary(x, axis), t)
+        vary = lambda t: jax.tree.map(
+            lambda x: lax.pcast(x, axis, to="varying"), t
+        )
         vcurve = _VaryingCurve(curve.name, curve.f, vary)
         sums = _msm_local(vcurve, pts, scs, c, lanes)  # leaves (L, W)
         # add a leading per-device axis so out_specs can shard on it

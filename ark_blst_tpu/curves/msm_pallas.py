@@ -487,11 +487,20 @@ def msm_pallas_chunked(points, scalars, curve: CurveOps = G1, c: int | None = No
     kc = _kernel_curve(curve)
     if c is None:
         c = 6 if kc.name == "g1" else 5
+    # VMEM budget check hoisted from msm_pallas so oversized c fails with a
+    # clear assert on the chunked path too (not an opaque Mosaic error)
+    B = _num_buckets(c, signed)
+    assert B * kc.rows * SLOTS * LANES * 4 <= 12 << 20, "bucket scratch exceeds VMEM"
+    n = scalars.shape[-1]
+    if n == 0:
+        return curve.identity((1,))
     if chunk is None:
         chunk = plan_chunk(kc, c, signed, hbm_budget_bytes)
+    # never pad a small input up to a multi-GB planned chunk (maybe_abort
+    # used to force the padded path for tiny inputs)
+    chunk = min(chunk, -(-n // TILE) * TILE)
     assert chunk % TILE == 0, "chunk must be a multiple of the point tile"
-    n = scalars.shape[-1]
-    if n <= chunk and maybe_abort is None:
+    if n <= chunk and (maybe_abort is None or not maybe_abort()):
         return msm_pallas(points, scalars, curve=curve, c=c, signed=signed)
     points, scalars = M._pad_inputs(curve, points, scalars, chunk)
     n_chunks = scalars.shape[-1] // chunk

@@ -7,6 +7,9 @@ mesh, sharded MSM checked against the host oracle — the honest single-box
 stand-in for a pod (SURVEY.md §4: "multi-node without a real cluster").
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess multi-device compile (minutes)
 import os
 import subprocess
 import sys

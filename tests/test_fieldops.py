@@ -9,6 +9,8 @@ import random
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # dual-engine differential sweeps (minutes)
 import jax
 import jax.numpy as jnp
 

@@ -10,6 +10,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # batched group-law sweeps (minutes)
+
 from ark_blst_tpu.oracle import curve as OC
 from ark_blst_tpu.oracle import field as OF
 from ark_blst_tpu.ops import convert as CV

@@ -12,6 +12,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # scan-pipeline MSM on CPU (minutes)
+
 from ark_blst_tpu.oracle import curve as OC
 from ark_blst_tpu.oracle import field as OF
 from ark_blst_tpu.ops import convert as CV

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full pairing towers on CPU (minutes)
+
 from ark_blst_tpu.curves import pairing as DP
 from ark_blst_tpu.oracle import curve as OC
 from ark_blst_tpu.oracle import field as OF

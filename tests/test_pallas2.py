@@ -9,6 +9,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full interpret-mode v2 pipeline (~8 min on CPU)
+
 from ark_blst_tpu.curves import msm_pallas2 as MP2
 from ark_blst_tpu.curves.group import G1, G2
 from ark_blst_tpu.ops import convert as CV

@@ -1,5 +1,8 @@
 """Device tower (Fp2/Fp6/Fp12) vs oracle differential tests."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # Fp12 tower differential sweeps (minutes)
 import random
 
 import jax
