@@ -123,15 +123,19 @@ class LazyOps:
         return LZ.fp2_sub(a, b) if self.is_fp2 else LZ.sub(a, b)
 
     def zero(self, like):
-        z = [jnp.zeros_like(like[0] if not self.is_fp2 else like[0][0])] * LZ.ELEM
+        # derived from `like` (x*0, not a fresh constant) so the value is
+        # device-varying under shard_map — scan carries then type-check
+        # without check_vma escape hatches
+        ref = like[0] if not self.is_fp2 else like[0][0]
+        z = [ref * 0] * LZ.ELEM
         return (list(z), list(z)) if self.is_fp2 else list(z)
 
     def one(self, like):
         ref = like[0] if not self.is_fp2 else like[0][0]
-        o = [jnp.full(ref.shape, v, jnp.int32) if v else jnp.zeros_like(ref)
-             for v in LZ.ONE13] + [jnp.zeros_like(ref)]
+        zero = ref * 0
+        o = [zero + jnp.int32(v) if v else zero for v in LZ.ONE13] + [zero]
         if self.is_fp2:
-            return (o, [jnp.zeros_like(ref)] * LZ.ELEM)
+            return (o, [zero] * LZ.ELEM)
         return o
 
     def store30(self, a):

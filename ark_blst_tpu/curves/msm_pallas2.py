@@ -7,23 +7,33 @@ window x group decomposition mirroring ec-gpu's multiexp kernel
 (/root/reference/src/gpu.rs:126-210, groups at :138-146) — but:
 
 * Field math is the signed balanced radix-13 lazy engine (ops/lazy13.py):
-  ~5-6K element-ops per Montgomery multiply vs ~11K for the strict radix-16
-  list engine (no Kogge-Stone normalization, no cond_sub, free signed subs,
+  ~5-6K element-ops per Montgomery multiply vs ~31K for the strict radix-16
+  XLA pipeline (no Kogge-Stone normalization, no cond_sub, free signed subs,
   one reduction per output coordinate).
-* Incoming points are AFFINE (Z=1 mixed adds: 11 muls instead of 12, and a
-  third less point HBM traffic). The affine conversion is one batched
-  Montgomery inversion at ingest. Padding/identity inputs ride as (0,0) with
-  digit 0 -> dropped bucket 0, so completeness is preserved end to end.
-* Buckets are stored PACKED: two balanced 13-bit digits per uint32 (bias
-  4129). A G1 bucket point is 45 rows instead of 72, so the c=7 signed
-  window (B = 65 buckets) fits the ~12 MB VMEM scratch budget:
+* Buckets and points are stored PACKED: two balanced 13-bit digits per
+  uint32 (bias 4129). A G1 bucket point is 45 rows instead of 72, so the
+  c=7 signed window (B = 65 buckets) fits the ~12 MB VMEM scratch budget:
   W = 38 windows instead of 44.
+* The pipeline is exactly THREE jit programs per chunk (prepare, kernel,
+  reduce) plus one finish program, each with a handful of STACKED array
+  inputs/outputs. This matters independently of compute: the remote-TPU
+  platform charges milliseconds of dispatch overhead per array crossing a
+  jit boundary (measured ~2.3 s for a single no-op-sized call carrying a
+  ~280-array lazy-point pytree — scripts/tpu_fold_probe.py), so lazy points
+  only ever cross boundaries as single stacked arrays.
+* Kernel inputs are PROJECTIVE (complete RCB15 add, 12 muls): an affine
+  conversion would save one multiply per bucket add but costs a batched
+  Montgomery inversion at ingest whose eager-composed dispatch overhead
+  dwarfs the saving on this platform. Identity inputs are absorbed by the
+  complete formulas (the blst failure case, /root/reference/src/g1.rs:682-689,
+  remains a passing case here).
 
 Layouts (G1; G2 doubles the per-coord rows and drops to c=6):
-  points  HBM: (T, 30, 8, 128) uint32   — x,y packed balanced digits
+  points  HBM: (T, 45, 8, 128) uint32   — x,y,z packed balanced digits
   digits  HBM: (W, T, 8, 128)  uint32   — magnitude | sign<<15
   buckets VMEM: (B, 45, 8, 128) uint32  — x,y,z packed
   dump    HBM: (W, B, 45, 8, 128) uint32
+  wsums   (stacked): (3*ELEM, W) int32  — lazy window sums, one array
 """
 
 from __future__ import annotations
@@ -56,6 +66,12 @@ MAG_MASK = (1 << SIGN_BIT) - 1
 
 INTERPRET = False  # test hook: run the Pallas kernel in interpreter mode
 
+R16_MOD_P = (1 << (16 * FP.num_limbs)) % P
+# v*R16 -> v*R13 under lazy mont (x*C/R13): C = R13^2 / R16 mod p
+R16_TO_R13 = LZ.R13_MOD_P * LZ.R13_MOD_P % P * pow(R16_MOD_P, -1, P) % P
+R16_TO_R13_DIGITS = [int(v) for v in LZ.int_to_digits(R16_TO_R13)]
+R16_DIGITS = [int(v) for v in LZ.int_to_digits(R16_MOD_P)]
+
 
 def _eager() -> bool:
     """Off-TPU the pipeline runs EAGERLY (each jnp op dispatched as-is):
@@ -68,8 +84,6 @@ def _eager() -> bool:
 def _call(jitted, *args, **kwargs):
     fn = jitted.__wrapped__ if _eager() else jitted
     return fn(*args, **kwargs)
-
-R16_MOD_P = (1 << (16 * FP.num_limbs)) % P
 
 
 def int_to_digits_balanced(x: int) -> np.ndarray:
@@ -125,12 +139,14 @@ class KernelCurve2:
         return 30 if self.name == "g2" else 15
 
     @property
-    def pt_rows(self) -> int:  # affine point (x, y)
-        return 2 * self.coord_rows
+    def pt_rows(self) -> int:  # projective point (x, y, z)
+        return 3 * self.coord_rows
+
+    bk_rows = pt_rows
 
     @property
-    def bk_rows(self) -> int:  # projective bucket point (x, y, z)
-        return 3 * self.coord_rows
+    def n_fp(self) -> int:  # Fp components per point (3 coords x ext degree)
+        return 6 if self.name == "g2" else 3
 
     def _coord_from_rows(self, rows):
         if self.name == "g2":
@@ -143,20 +159,38 @@ class KernelCurve2:
             return pack30(cs[0]) + pack30(cs[1])
         return pack30(cs)
 
-    def rows_to_bucket(self, rows):
+    def rows_to_point(self, rows):
         cr = self.coord_rows
         return tuple(
             self._coord_from_rows(rows[i * cr : (i + 1) * cr]) for i in range(3)
         )
 
-    def bucket_to_rows(self, pt):
+    def point_to_rows(self, pt):
         return [r for coord in pt for r in self._coord_to_rows(coord)]
 
-    def rows_to_affine(self, rows):
-        cr = self.coord_rows
-        return tuple(
-            self._coord_from_rows(rows[i * cr : (i + 1) * cr]) for i in range(2)
-        )
+    # -- stacked lazy-point codec (single-array jit boundaries) --
+
+    def stack_point(self, pt):
+        """Lazy projective point -> ONE int32 array (n_fp*ELEM, *batch)."""
+        leaves = []
+        for coord in pt:
+            comps = coord if self.name == "g2" else (coord,)
+            for comp in comps:
+                leaves.extend(comp)
+        return jnp.stack(leaves)
+
+    def unstack_point(self, arr):
+        k = LZ.ELEM
+        comps = [
+            [arr[i * k + j] for j in range(k)] for i in range(self.n_fp)
+        ]
+        if self.name == "g2":
+            return (
+                (comps[0], comps[1]),
+                (comps[2], comps[3]),
+                (comps[4], comps[5]),
+            )
+        return (comps[0], comps[1], comps[2])
 
     def identity_rows(self) -> np.ndarray:
         """Host: packed rows of the identity (0 : one : 0)."""
@@ -196,7 +230,7 @@ def _num_windows(c: int) -> int:
 # --- the kernel ---------------------------------------------------------------
 
 def _make_kernel2(kc: KernelCurve2, B: int, t_blocks: int):
-    rows = kc.bk_rows
+    rows = kc.pt_rows
     ident = kc.identity_rows()
     f = kc.f
 
@@ -222,11 +256,11 @@ def _make_kernel2(kc: KernelCurve2, B: int, t_blocks: int):
         cur_rows_mat = jnp.sum(
             jnp.where(mask, bks.astype(jnp.int32), jnp.int32(0)), axis=0
         ).astype(jnp.uint32)
-        cur = kc.rows_to_bucket([cur_rows_mat[i] for i in range(rows)])
-        x2, y2 = kc.rows_to_affine([pts_ref[0, i] for i in range(kc.pt_rows)])
+        cur = kc.rows_to_point([cur_rows_mat[i] for i in range(rows)])
+        x2, y2, z2 = kc.rows_to_point([pts_ref[0, i] for i in range(rows)])
         y2 = f.select(sign, f.neg(y2), y2)
-        new = LG.mixed_add(f, cur, (x2, y2))
-        new_mat = jnp.stack(kc.bucket_to_rows(new))  # (rows, 8, 128) u32
+        new = LG.full_add(f, cur, (x2, y2, z2))
+        new_mat = jnp.stack(kc.point_to_rows(new))  # (rows, 8, 128) u32
         buckets[:] = jnp.where(mask, new_mat[None], bks)
 
         w = pl.program_id(0)  # hoisted: program_id inside pl.when breaks interpret
@@ -243,10 +277,10 @@ def _make_kernel2(kc: KernelCurve2, B: int, t_blocks: int):
 @functools.partial(jax.jit, static_argnames=("kc", "c"))
 def _accumulate2(pts_arr, digs_arr, *, kc: KernelCurve2, c: int):
     """pts_arr (T, pt_rows, 8, 128) u32; digs_arr (W, T, 8, 128) u32 ->
-    packed bucket dump (W, B, bk_rows, 8, 128) u32."""
+    packed bucket dump (W, B, pt_rows, 8, 128) u32."""
     W, T = digs_arr.shape[0], digs_arr.shape[1]
     B = _num_buckets(c)
-    rows = kc.bk_rows
+    rows = kc.pt_rows
     kernel = _make_kernel2(kc, B, T)
     return pl.pallas_call(
         kernel,
@@ -254,7 +288,7 @@ def _accumulate2(pts_arr, digs_arr, *, kc: KernelCurve2, c: int):
         grid=(W, T),
         in_specs=[
             pl.BlockSpec(
-                (1, kc.pt_rows, SLOTS, LANES), lambda w, t: (t, 0, 0, 0),
+                (1, rows, SLOTS, LANES), lambda w, t: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -262,7 +296,7 @@ def _accumulate2(pts_arr, digs_arr, *, kc: KernelCurve2, c: int):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((B, rows, SLOTS, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA,
@@ -271,69 +305,57 @@ def _accumulate2(pts_arr, digs_arr, *, kc: KernelCurve2, c: int):
     )(pts_arr, digs_arr)
 
 
-# --- ingest (XLA): projective strict-Montgomery points -> kernel layout -------
+# --- prepare: strict projective points -> kernel layout (ONE jit) -------------
 
-def _prepare_inputs(points, scalars, curve: CurveOps, c: int):
+@functools.partial(jax.jit, static_argnames=("curve", "c"))
+def _prepare_inputs(points, scalars, *, curve: CurveOps, c: int):
     """points: projective batch in the strict radix-16 engine's Montgomery
     form, coord leaves (24, N) u32 (Fp2 coords as pairs); scalars (16, N)
     plain FR limbs. N must be a multiple of TILE.
 
     Returns (pts_arr (T, pt_rows, 8, 128) u32, digs_arr (W, T, 8, 128) u32).
 
-    to_affine runs as its usual composition of per-op jits (a single fused
-    graph would inline the whole batch-inversion tree — a compile bomb);
-    the repack + digit slicing below is one modest jit.
+    The domain conversion runs in the LAZY engine (one mont_mul_const per Fp
+    component, ~4.5K traced ops) — the strict engine's multiply would triple
+    the compile size for no benefit.
     """
-    xa, ya, inf = curve.to_affine(points)  # batched Montgomery inversion
-    return _call(_prepare_affine, xa, ya, inf, scalars, curve=curve, c=c)
-
-
-@functools.partial(jax.jit, static_argnames=("curve", "c"))
-def _prepare_affine(xa, ya, inf, scalars, *, curve: CurveOps, c: int):
     kc = _kernel_curve2(curve)
     n = scalars.shape[-1]
 
-    r13_const = [int(v) for v in int_to_limbs(LZ.R13_MOD_P, FP.num_limbs)]
-
     def coord_rows(coord):
-        """strict-R16 coord (24, N) -> 15 packed rows of balanced R13 digits."""
         def one_fp(arr):
-            al = [arr[i] for i in range(FP.num_limbs)]
-            # v*R16 -> v*R13: one strict-engine multiply by plain R13 mod p
-            m = FO._mont_mul_list(al, None, FP, b_const=r13_const)
-            d = LZ.from_limbs16(m)
-            return pack30(LZ.store30(d))
+            a16 = [arr[i] for i in range(FP.num_limbs)]
+            d = LZ.from_limbs16(a16)  # canonical digits of v*R16
+            d13 = LZ.mont_mul_const(d, R16_TO_R13_DIGITS)  # v*R13, mul-ready
+            return pack30(LZ.store30(d13))
 
         if kc.name == "g2":
             return one_fp(coord[0]) + one_fp(coord[1])
         return one_fp(coord)
 
-    rows = coord_rows(xa) + coord_rows(ya)  # pt_rows arrays of (N,)
-    # padding/identity points: zero the packed coords entirely (their digits
-    # are forced to bucket 0 below, but keep the data benign too)
-    zero_packed = jnp.uint32(BIAS | (BIAS << 16))
-    rows = [jnp.where(inf, zero_packed, r) for r in rows]
+    rows = []
+    for coord in points:
+        rows.extend(coord_rows(coord))
     mat = jnp.stack(rows)  # (pt_rows, N)
     T = n // TILE
     pts_arr = jnp.transpose(
         mat.reshape(kc.pt_rows, T, SLOTS, LANES), (1, 0, 2, 3)
     )
-
-    digits = M.window_digits_signed(scalars, c)  # (W, N)
-    digits = jnp.where(inf[None], jnp.uint32(0), digits)
+    digits = M.window_digits_signed(scalars, c)  # (W, N); identity points
+    # need no masking: adding the identity is absorbed by the complete add
     W = digits.shape[0]
     digs_arr = digits.reshape(W, T, SLOTS, LANES)
     return pts_arr, digs_arr
 
 
-# --- epilogue (XLA): dump -> window sums -> result ----------------------------
+# --- reduce: dump -> stacked lazy window sums (ONE jit) -----------------------
 
 def _dump_to_points(dump, kc: KernelCurve2):
     """(W, B, rows, 8, 128) packed dump -> lazy bucket points with batch
     (TILE, W, B) (digit arrays)."""
     W, B, rows = dump.shape[0], dump.shape[1], dump.shape[2]
     mat = jnp.transpose(dump, (2, 3, 4, 0, 1)).reshape(rows, TILE, W, B)
-    return kc.rows_to_bucket([mat[i] for i in range(rows)])
+    return kc.rows_to_point([mat[i] for i in range(rows)])
 
 
 def _tree_map_pt(fn, pt):
@@ -345,26 +367,35 @@ def _tree_map_pt(fn, pt):
     return [_tree_map_pt(fn, x) for x in pt]
 
 
-@functools.partial(jax.jit, static_argnames=("kc",))
-def _fold_round(lo, hi, kc: KernelCurve2):
-    return LG.full_add(kc.f, lo, hi)
+def _fold_body(kc: KernelCurve2):
+    def body(acc, q):
+        return LG.full_add(kc.f, acc, tuple(q)), None
+
+    return body
 
 
-def _fold_streams(pt, kc: KernelCurve2, size: int):
-    """Fold the leading batch axis (size -> 1).
-
-    TPU: log2(size) tree rounds (one jit per level; compiles are cached
-    across chunks and runs). Elsewhere: the same tree, eagerly (XLA:CPU
-    compiles of the lazy graphs take minutes; eager runs in seconds)."""
-    if jax.default_backend() == "tpu":
-        while size > 1:
-            half = size // 2
-            lo = _tree_map_pt(lambda x: x[:half], pt)
-            hi = _tree_map_pt(lambda x: x[half:], pt)
-            pt = _call(_fold_round, lo, hi, kc=kc)
-            size = half
-        return _tree_map_pt(lambda x: x[0], pt)
-    return _fold_streams_eager(pt, kc, size)
+def _fold_streams_traced(pt, kc: KernelCurve2, scan_chunk: int = 64):
+    """Fold the leading TILE axis to 1 inside a traced program: a lax.scan
+    over `scan_chunk` groups (one traced add body) followed by an unrolled
+    tree over the remaining TILE/scan_chunk (keeps the traced size at
+    ~(1 + log2(TILE/scan_chunk)) add bodies while the scan's sequential
+    steps stay wide enough to be compute-bound)."""
+    group = TILE // scan_chunk
+    # (TILE, W, B) -> (scan_chunk, group, W, B)
+    pt = _tree_map_pt(
+        lambda x: x.reshape((scan_chunk, group) + x.shape[1:]), pt
+    )
+    first = _tree_map_pt(lambda x: x[0], pt)
+    rest = _tree_map_pt(lambda x: x[1:], pt)
+    acc, _ = lax.scan(_fold_body(kc), first, rest)
+    size = group
+    while size > 1:
+        half = size // 2
+        lo = _tree_map_pt(lambda x: x[:half], acc)
+        hi = _tree_map_pt(lambda x: x[half:], acc)
+        acc = LG.full_add(kc.f, lo, hi)
+        size = half
+    return _tree_map_pt(lambda x: x[0], acc)
 
 
 def _fold_streams_eager(pt, kc: KernelCurve2, size: int):
@@ -378,38 +409,28 @@ def _fold_streams_eager(pt, kc: KernelCurve2, size: int):
     return _tree_map_pt(lambda x: x[0], pt)
 
 
-def _bucket_suffix(pt, kc: KernelCurve2):
-    """Lazy bucket reduction: batch (W, B) -> window sums (W,).
-
-    sum_b b * S_b computed as suffix accumulation (highest magnitude first),
-    bucket 0 dropped — the on-device analog of the reference's host window
-    reduction (/root/reference/src/gpu.rs:193-209). Jitted scan on TPU;
-    eager python loop elsewhere."""
+def _bucket_suffix_seq(pt, kc: KernelCurve2, B: int):
+    """Suffix-accumulate buckets (highest magnitude first; bucket 0 dropped):
+    window sums = sum_b b * S_b — the on-device analog of the reference's
+    host window reduction (/root/reference/src/gpu.rs:193-209). Python loop:
+    B-1 complete adds, traced inline (inside the reduce program on TPU,
+    eager on CPU)."""
     f = kc.f
-    if not _eager():
-        return _bucket_suffix_jit(pt, kc=kc)
-    first = _tree_map_pt(lambda x: x[..., -1], pt)
-    zl = first[0]
-    running, total = tuple(first), tuple(first)
-    B = pt[0][0].shape[-1] if not kc.f.is_fp2 else pt[0][0][0].shape[-1]
-    for b in range(B - 2, 0, -1):  # buckets B-2 .. 1; bucket 0 dropped
+    running = _tree_map_pt(lambda x: x[..., B - 1], pt)
+    total = tuple(running)
+    for b in range(B - 2, 0, -1):
         bucket_b = _tree_map_pt(lambda x: x[..., b], pt)
-        running = LG.full_add(f, running, tuple(bucket_b))
+        running = LG.full_add(f, tuple(running), tuple(bucket_b))
         total = LG.full_add(f, total, running)
     return total
 
 
-@functools.partial(jax.jit, static_argnames=("kc",))
-def _bucket_suffix_jit(pt, kc: KernelCurve2):
+def _bucket_suffix_scan(pt, kc: KernelCurve2):
+    """Scan form of the bucket suffix (ONE traced double-add body)."""
     f = kc.f
-    # digit arrays (W, B) -> scan sequence (B-1, W), highest bucket first
-    seq = _tree_map_pt(
-        lambda x: jnp.moveaxis(x[..., 1:], -1, 0)[::-1], pt
-    )
-    zero_like = _tree_map_pt(lambda x: x[0], seq)
-    ident = (
-        f.zero(zero_like[0]), f.one(zero_like[0]), f.zero(zero_like[0])
-    )
+    seq = _tree_map_pt(lambda x: jnp.moveaxis(x[..., 1:], -1, 0)[::-1], pt)
+    first = _tree_map_pt(lambda x: x[0], seq)
+    rest = _tree_map_pt(lambda x: x[1:], seq)
 
     def body(carry, bucket_b):
         running, total = carry
@@ -417,16 +438,63 @@ def _bucket_suffix_jit(pt, kc: KernelCurve2):
         total = LG.full_add(f, total, running)
         return (running, total), None
 
-    (_, total), _ = lax.scan(body, (ident, ident), seq)
+    (_, total), _ = lax.scan(body, (tuple(first), tuple(first)), rest)
     return total
 
 
-def _horner_lazy(wsums, kc: KernelCurve2, c: int):
-    """Window sums (W,) -> result point (1,): res = sum_w S_w << (c*w)."""
-    if not _eager():
-        return _horner_lazy_jit(wsums, kc=kc, c=c)
+@functools.partial(jax.jit, static_argnames=("kc",))
+def _reduce_dump(dump, *, kc: KernelCurve2):
+    """dump (W, B, rows, 8, 128) -> stacked lazy window sums (n_fp*ELEM, W)."""
+    pt = _dump_to_points(dump, kc)
+    folded = _fold_streams_traced(pt, kc)  # batch (W, B)
+    ws = _bucket_suffix_scan(folded, kc)  # batch (W,)
+    return kc.stack_point(ws)
+
+
+@functools.partial(jax.jit, static_argnames=("kc",))
+def _add_wsums2(a, b, *, kc: KernelCurve2):
+    """Accumulate stacked window sums across chunks (2 arrays in, 1 out)."""
+    out = LG.full_add(kc.f, kc.unstack_point(a), kc.unstack_point(b))
+    return kc.stack_point(out)
+
+
+# --- finish: stacked window sums -> strict projective point (ONE jit) ---------
+
+@functools.partial(jax.jit, static_argnames=("kc", "c"))
+def _finish(ws_stacked, *, kc: KernelCurve2, c: int):
+    """Horner over windows + conversion back to the strict engine's
+    Montgomery-R16 canonical limbs. Output: stacked (n_fp, 24, 1) u32.
+
+    The Horner recurrence is a lax.scan whose body holds ONE fori-doubling
+    and one add (traced once); ~W*(c+1) sequential group ops run entirely
+    on-device — sequential-but-tiny is fine inside a single program, the
+    catastrophic cost is only per-dispatch (see module docstring)."""
     f = kc.f
-    W = wsums[0][0].shape[-1] if not f.is_fp2 else wsums[0][0][0].shape[-1]
+    wsums = kc.unstack_point(ws_stacked)
+    # digit arrays (W,) -> scan sequence (W, 1), highest window first
+    seq = _tree_map_pt(lambda x: x[::-1][..., None], wsums)
+    first = _tree_map_pt(lambda x: x[0], seq)
+    rest = _tree_map_pt(lambda x: x[1:], seq)
+
+    def body(acc, s_w):
+        acc = lax.fori_loop(0, c, lambda i, p: LG.double(f, p), acc)
+        return LG.full_add(f, acc, tuple(s_w)), None
+
+    acc, _ = lax.scan(body, tuple(first), rest)
+    return _to_strict_stacked(acc, kc)
+
+
+def _finish_any(ws_stacked, kc: KernelCurve2, c: int):
+    if _eager():
+        return _finish_eager(ws_stacked, kc, c)
+    return _finish(ws_stacked, kc=kc, c=c)
+
+
+def _finish_eager(ws_stacked, kc: KernelCurve2, c: int):
+    """Eager (CPU test) variant: plain python loops, no scan/fori compiles."""
+    f = kc.f
+    wsums = kc.unstack_point(ws_stacked)
+    W = ws_stacked.shape[-1]
     acc = None
     for w in range(W - 1, -1, -1):
         s_w = _tree_map_pt(lambda x: x[..., w : w + 1], wsums)
@@ -436,63 +504,47 @@ def _horner_lazy(wsums, kc: KernelCurve2, c: int):
         for _ in range(c):
             acc = LG.double(f, acc)
         acc = LG.full_add(f, acc, tuple(s_w))
-    return acc
+    return _to_strict_stacked(acc, kc)
 
 
-@functools.partial(jax.jit, static_argnames=("kc", "c"))
-def _horner_lazy_jit(wsums, kc: KernelCurve2, c: int):
-    f = kc.f
-    seq = _tree_map_pt(lambda x: jnp.moveaxis(x, -1, 0)[::-1][..., None], wsums)
-    zero_like = _tree_map_pt(lambda x: x[0], seq)
-    ident = (f.zero(zero_like[0]), f.one(zero_like[0]), f.zero(zero_like[0]))
-
-    def body(acc, s_w):
-        acc = lax.fori_loop(0, c, lambda i, p: LG.double(f, p), acc)
-        return LG.full_add(f, acc, tuple(s_w)), None
-
-    out, _ = lax.scan(body, ident, seq)
-    return out
-
-
-@functools.partial(jax.jit, static_argnames=("kc",))
-def _to_strict(pt, kc: KernelCurve2):
-    """Lazy projective point (batch (1,)) in the R13 domain -> strict-engine
-    Montgomery (R16) projective coord leaves (24, 1) u32, canonical."""
-    r16_digits = [int(v) for v in LZ.int_to_digits(R16_MOD_P)]
-
+def _to_strict_stacked(pt, kc: KernelCurve2):
     def conv_fp(x):
-        y = LZ.mont_mul_const(x, r16_digits)  # v*R13 -> v*R16
+        y = LZ.mont_mul_const(x, R16_DIGITS)  # v*R13 -> v*R16
         return jnp.stack(LZ.to_limbs16_strict(LZ.canonicalize(y)))
 
-    def conv(coord):
-        if kc.name == "g2":
-            return (conv_fp(coord[0]), conv_fp(coord[1]))
-        return conv_fp(coord)
+    out = []
+    for coord in pt:
+        comps = coord if kc.name == "g2" else (coord,)
+        out.extend(conv_fp(comp) for comp in comps)
+    return jnp.stack(out)  # (n_fp, 24, batch)
 
-    return tuple(conv(c) for c in pt)
+
+def _unstack_strict(arr, kc: KernelCurve2):
+    """(n_fp, 24, batch) -> strict projective coord leaves (24, batch)."""
+    if kc.name == "g2":
+        return ((arr[0], arr[1]), (arr[2], arr[3]), (arr[4], arr[5]))
+    return (arr[0], arr[1], arr[2])
 
 
 # --- drivers ------------------------------------------------------------------
 
 def _window_sums2(points, scalars, curve: CurveOps, c: int,
                   max_windows: int | None = None):
-    """Full v2 pipeline up to (and including) bucket reduction: returns lazy
-    window sums with batch (W,). Inputs must be TILE-padded. `max_windows`
-    truncates the window schedule — ONLY sound when every scalar is below
-    2^(c*(max_windows-1)); used by interpret-mode tests."""
+    """Full v2 pipeline up to (and including) bucket reduction: returns
+    STACKED lazy window sums (n_fp*ELEM, W). Inputs must be TILE-padded.
+    `max_windows` truncates the window schedule — ONLY sound when every
+    scalar is below 2^(c*(max_windows-1)); used by interpret-mode tests."""
     kc = _kernel_curve2(curve)
-    pts_arr, digs_arr = _prepare_inputs(points, scalars, curve, c)
+    pts_arr, digs_arr = _call(_prepare_inputs, points, scalars, curve=curve, c=c)
     if max_windows is not None:
         digs_arr = digs_arr[:max_windows]
     dump = _call(_accumulate2, pts_arr, digs_arr, kc=kc, c=c)
-    pt = _dump_to_points(dump, kc)
-    folded = _fold_streams(pt, kc, TILE)  # batch (W, B)
-    return _bucket_suffix(folded, kc=kc)
-
-
-@functools.partial(jax.jit, static_argnames=("kc",))
-def _add_wsums2(a, b, kc: KernelCurve2):
-    return LG.full_add(kc.f, a, b)
+    if _eager():
+        pt = _dump_to_points(dump, kc)
+        folded = _fold_streams_eager(pt, kc, TILE)
+        ws = _bucket_suffix_seq(folded, kc, dump.shape[1])
+        return kc.stack_point(ws)
+    return _reduce_dump(dump, kc=kc)
 
 
 def plan_chunk2(kc: KernelCurve2, c: int, hbm_budget_bytes: int = 8 << 30) -> int:
@@ -501,8 +553,8 @@ def plan_chunk2(kc: KernelCurve2, c: int, hbm_budget_bytes: int = 8 << 30) -> in
     Analog of the reference's calc_chunk_size (/root/reference/src/gpu.rs:64-85)."""
     W = _num_windows(c)
     B = _num_buckets(c)
-    fixed = 2 * W * B * kc.bk_rows * TILE * 4
-    coords16 = 3 * (2 if kc.name == "g2" else 1) * 24  # projective input rows
+    fixed = 2 * W * B * kc.pt_rows * TILE * 4
+    coords16 = kc.n_fp * 24  # strict projective input rows
     per_point = (coords16 + 2 * kc.pt_rows + W + 2) * 4
     budget = hbm_budget_bytes - fixed
     assert budget > per_point * TILE, "HBM budget below one tile"
@@ -544,5 +596,62 @@ def msm_pallas2(points, scalars, curve: CurveOps = G1, c: int | None = None,
         ws = _window_sums2(jax.tree.map(sl, points), sl(scalars), curve, c,
                            max_windows)
         total = ws if total is None else _call(_add_wsums2, total, ws, kc=kc)
-    res = _horner_lazy(total, kc=kc, c=c)
-    return _call(_to_strict, res, kc=kc)
+    out = _finish_any(total, kc, c)
+    return _unstack_strict(out, kc)
+
+
+# --- multi-chip: the fast kernel inside shard_map -----------------------------
+
+def msm_sharded2(points, scalars, mesh, curve: CurveOps = G1,
+                 c: int | None = None, axis: str = "data",
+                 max_windows: int | None = None):
+    """Multi-chip MSM with the *fast* v2 kernel on every device.
+
+    Points are sharded over `mesh` axis `axis`; each device runs the VMEM
+    bucket kernel + lazy fold + bucket suffix on its shard, producing
+    stacked lazy window sums; the per-device sums are gathered (tiny: one
+    (n_fp*ELEM, W) array each) and tree-folded, then Horner'd. This is the
+    multi-device execution the reference left as a TODO
+    (/root/reference/src/gpu.rs:233-240), applied to the fast path (round 2
+    sharded only the slow scan pipeline).
+    """
+    from jax.sharding import PartitionSpec as Pspec
+
+    kc = _kernel_curve2(curve)
+    if c is None:
+        c = kc.c_default
+    ndev = mesh.shape[axis]
+    points, scalars = M._pad_inputs(curve, points, scalars, TILE * ndev)
+    pts_arr, digs_arr = _call(
+        _prepare_inputs, points, scalars, curve=curve, c=c
+    )
+    if max_windows is not None:
+        digs_arr = digs_arr[:max_windows]
+
+    def local(pa, da):
+        dump = _accumulate2.__wrapped__(pa, da, kc=kc, c=c)
+        pt = _dump_to_points(dump, kc)
+        folded = _fold_streams_traced(pt, kc)
+        ws = _bucket_suffix_scan(folded, kc)
+        return kc.stack_point(ws)[None]  # add device axis
+
+    @jax.jit
+    def run(pa, da):
+        # check_vma=False: pallas_call does not yet thread the varying-
+        # manual-axes annotation through its out_shape, so the type check
+        # cannot pass; everything inside `local` is strictly per-device data
+        # (no collectives), so the check has nothing to catch here.
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(Pspec(axis), Pspec(None, axis)),
+            out_specs=Pspec(axis),
+            check_vma=False,
+        )(pa, da)
+
+    ws = run(pts_arr, digs_arr)  # (ndev, n_fp*ELEM, W)
+    total = ws[0]
+    for d in range(1, ndev):
+        total = _call(_add_wsums2, total, ws[d], kc=kc)
+    out = _finish_any(total, kc, c)
+    return _unstack_strict(out, kc)

@@ -1,0 +1,103 @@
+"""Stage-level timing of the v2 MSM pipeline on the real TPU.
+
+Usage: python scripts/tpu_msm2_stages.py [logn] [c]
+"""
+
+import os
+import sys
+import time
+import random
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+def _enable_compile_cache():
+    import jax
+    import os as _os
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+_enable_compile_cache()
+
+
+
+def log(m):
+    print(f"[{time.perf_counter():9.1f}] {m}", flush=True)
+
+
+def _sync(out):
+    """Force真 completion: the axon tunnel's block_until_ready can return
+    early, so fetch one element of every leaf to the host."""
+    for leaf in jax.tree.leaves(out):
+        arr = leaf
+        while arr.ndim > 0:
+            arr = arr[0]
+        np.asarray(arr)
+    return out
+
+
+def timed(tag, fn, *args, iters=2, **kw):
+    out = _sync(fn(*args, **kw))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = _sync(fn(*args, **kw))
+    dt = (time.perf_counter() - t0) / iters
+    log(f"STAGE {tag}: {dt*1e3:8.1f} ms")
+    return out, dt
+
+
+def main():
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+
+    from ark_blst_tpu.curves import msm_pallas2 as MP2
+    from ark_blst_tpu.curves import msm as M
+    from ark_blst_tpu.curves.group import G1
+    from ark_blst_tpu.ops import convert as CV
+    from ark_blst_tpu.oracle import curve as OC
+    from ark_blst_tpu.oracle import field as OF
+
+    log(f"backend={jax.default_backend()} logn={logn} c={c}")
+    rng = random.Random(42)
+    n = 1 << logn
+    base = [OC.g1_mul(OF.G1_GEN, rng.randrange(1, OF.R)) for _ in range(64)]
+    pts = base * (n // 64)
+    scs = [rng.randrange(OF.R) for _ in range(n)]
+    dp, ds = CV.g1_to_dev(pts), CV.fr_to_dev(scs)
+    dp, ds = M._pad_inputs(G1, dp, ds, MP2.TILE)
+    jax.block_until_ready(dp[0])
+    kc = MP2.KC2_G1
+
+    (pa, da), dt_prep = timed(
+        "prepare", MP2._prepare_inputs, dp, ds, curve=G1, c=c
+    )
+    dump, dt_kern = timed("kernel", MP2._accumulate2, pa, da, kc=kc, c=c)
+    ws, dt_red = timed("reduce", MP2._reduce_dump, dump, kc=kc)
+    out, dt_fin = timed("finish", MP2._finish, ws, kc=kc, c=c)
+    out = MP2._unstack_strict(out, kc)
+
+    total = dt_prep + dt_kern + dt_red + dt_fin
+    log(f"TOTAL {total*1e3:.1f} ms -> {n/total:.0f} points/s at 2^{logn}")
+    agg = [0] * 64
+    for i, s in enumerate(scs):
+        agg[i % 64] = (agg[i % 64] + s) % OF.R
+    want = OC.msm(OC.FP_OPS, base, agg)
+    got = CV.g1_from_dev(out)
+    print("ORACLE_OK:", got == [want], flush=True)
+    print(
+        f"STAGES_MS prepare={dt_prep*1e3:.1f} kernel={dt_kern*1e3:.1f} "
+        f"reduce={dt_red*1e3:.1f} finish={dt_fin*1e3:.1f} "
+        f"kernel_pts_per_s={n/dt_kern:.0f} total_pts_per_s={n/total:.0f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
