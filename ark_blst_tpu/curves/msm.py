@@ -288,23 +288,28 @@ def msm_auto(points, scalars, curve: CurveOps = G1, hbm_budget_bytes: int = 6 <<
              use_jit: bool | None = None, maybe_abort=None):
     """MSM with the execution strategy chosen automatically.
 
-    On TPU: the VMEM-bucket Pallas kernel with the largest signed window
-    whose bucket array fits VMEM (G1: c=6, G2: c=5), via the HBM-budgeted
-    chunked driver (msm_pallas_chunked) — one compiled chunk program reused
-    for any n, with the `maybe_abort` cancellation hook honored between
-    chunk dispatches. Off-TPU: the scan-based pipeline with (c, lanes) from
+    On TPU: the v2 lazy-engine VMEM-bucket kernel with the largest signed
+    window whose bucket array fits VMEM (G1: c=7, G2: c=6), via the
+    HBM-budgeted chunked driver (msm_pallas2) — compiled chunk programs
+    reused for any n, with the `maybe_abort` cancellation hook honored
+    between chunk dispatches (TPU-only: off-TPU backends ignore it after
+    one initial poll). Off-TPU: the scan-based pipeline with (c, lanes) from
     the memory-budgeted planner (config.plan_msm) — the completed analog of
     the reference's `calc_chunk_size` + window heuristic
     (/root/reference/src/gpu.rs:64-85, 218-223)."""
     if jax.default_backend() == "tpu":
-        from .msm_pallas import msm_pallas_chunked
+        from .msm_pallas2 import msm_pallas2
 
-        return msm_pallas_chunked(
+        return msm_pallas2(
             points, scalars, curve=curve,
             hbm_budget_bytes=hbm_budget_bytes, maybe_abort=maybe_abort,
         )
     from ..config import plan_msm
 
+    if maybe_abort is not None and maybe_abort():
+        from .msm_pallas import MsmAborted
+
+        raise MsmAborted("aborted before dispatch")
     limbs = FP.num_limbs * (2 if curve.name == "g2" else 1)
     plan = plan_msm(max(1, scalars.shape[-1]), hbm_budget_bytes, coords=3, limbs=limbs)
     return msm(points, scalars, curve=curve, c=plan.c, lanes=plan.lanes,

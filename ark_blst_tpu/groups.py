@@ -218,6 +218,11 @@ class _ProjectiveMixin:
 
         backend: "device" (TPU Pippenger pipeline, curves/msm.py),
         "host" (oracle fold), or None = auto (device iff running on TPU).
+
+        Window-size note: on the TPU path the kernel honors `c` up to the
+        VMEM bucket cap (7 for G1, 6 for G2, curves/msm_pallas2.py) and
+        clamps above it; `lanes` applies only to the off-TPU scan pipeline
+        (the kernel's parallelism is fixed at 1024 streams by the VPU tile).
         """
         import jax
 
@@ -238,14 +243,15 @@ class _ProjectiveMixin:
             points, curve, back = CV.g2_to_dev(pts), _G2_CURVE(), CV.g2_from_dev
         scalars = CV.fr_to_dev(ss)
         if jax.default_backend() == "tpu":
-            # VMEM-bucket Pallas kernel (curves/msm_pallas.py): signed
-            # windows, c=6 for G1, c=5 for G2 (VMEM budget); HBM-budgeted
-            # chunking + cancellation between chunk dispatches
-            from .curves import msm_pallas as MP
+            # v2 lazy-engine VMEM-bucket kernel (curves/msm_pallas2.py):
+            # signed windows, HBM-budgeted chunking + cancellation between
+            # chunk dispatches
+            from .curves import msm_pallas2 as MP2
 
-            kc = 6 if cls._ops is OC.FP_OPS else 5
-            out = MP.msm_pallas_chunked(
-                points, scalars, curve=curve, c=kc, maybe_abort=maybe_abort
+            kc = MP2._kernel_curve2(curve)
+            out = MP2.msm_pallas2(
+                points, scalars, curve=curve, c=min(c, kc.c_default),
+                maybe_abort=maybe_abort,
             )
         else:
             out = M.msm(points, scalars, curve=curve,
