@@ -1,18 +1,25 @@
-"""Headline benchmark: G1 Pippenger MSM throughput (points/s) on one chip.
+"""Headline benchmark + bench family for the TPU-native BLS12-381 framework.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus
-component metrics in an "extra" field).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Headline: G1 Pippenger MSM points/s at 2^22 on one chip (v2 lazy kernel),
+size-for-size against the north-star peg (ec-gpu-class MSM on a single A100,
+~1.6e7 points/s at 2^22 — typical published bellperson/ec-gpu figures; the
+reference's GPU path is that kernel family, /root/reference/src/gpu.rs).
+The reference itself publishes no numbers (BASELINE.md).
 
-The reference publishes no numbers (BASELINE.md; BASELINE.json "published"
-is {}), so `vs_baseline` is computed against the north-star peg: ec-gpu
--class MSM on a single A100 (~1.6e7 points/s at 2^22 — typical published
-bellperson/ec-gpu figures; the reference's GPU path is that kernel family,
-/root/reference/src/gpu.rs). NOTE this is a CROSS-SIZE estimate when the
-TPU run size differs from 2^22; the metric name carries the actual size.
+The "extra" field carries the rest of the bench family — G2 MSM, batched
+full pairings, Fp Montgomery multiply rate — mirroring the reference's
+field+group bench split (/root/reference/benches/fields.rs:22-45,
+benches/group.rs:18-56).
+
+Input-construction note: MSM bases are 64 distinct generator multiples
+tiled to size n with fresh random scalars per position. The pipeline is
+data-independent (identical arithmetic for any point values); the tiling is
+what lets the host oracle verify the FULL-size result (aggregate scalars
+per distinct base) rather than a subset.
 
 Timing is honest: every rep ends with a host fetch of the result, because
-`block_until_ready` under-reports on the experimental remote-TPU platform
-(async dispatch returns before execution completes).
+`block_until_ready` under-reports on the experimental remote-TPU platform.
 """
 
 from __future__ import annotations
@@ -24,20 +31,10 @@ import time
 
 import numpy as np
 
-A100_ECGPU_POINTS_PER_S = 1.6e7  # cross-size peg, see module docstring
-
-
-def _timed(fn, reps):
-    fn()  # warmup (compile)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-    return (time.perf_counter() - t0) / reps, out
+A100_ECGPU_POINTS_PER_S = 1.6e7  # peg at 2^22, see module docstring
 
 
 def _enable_compile_cache():
-    """Persistent XLA/Mosaic compile cache: the MSM kernel program takes
-    ~10 min to compile on the remote TPU; cached reruns skip it."""
     import os
 
     import jax
@@ -50,6 +47,163 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+def _msm_inputs(curve_to_dev, base_pts, logn, seed):
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << logn
+    n_base = len(base_pts)
+    reps = n // n_base
+    base_dev = curve_to_dev(base_pts)
+    pts = jax.tree.map(lambda x: jnp.tile(x, (1, reps)), base_dev)
+    nprng = np.random.default_rng(seed)
+    scs_np = nprng.integers(0, 1 << 16, (16, n), dtype=np.uint16)
+    scs_np[15] &= 0x3FFF  # < 2^254 < r
+    return pts, jnp.asarray(scs_np.astype(np.uint32)), scs_np
+
+
+def _aggregate(scs_np, n_base, R):
+    reps = scs_np.shape[1] // n_base
+    cols = scs_np.reshape(16, reps, n_base).astype(np.int64)
+    agg = []
+    for b in range(n_base):
+        v = 0
+        for k in range(16):
+            v += int(cols[k, :, b].sum()) << (16 * k)
+        agg.append(v % R)
+    return agg
+
+
+def bench_msm_g1(on_tpu):
+    import jax
+
+    from ark_blst_tpu.curves import msm_pallas2 as MP2
+    from ark_blst_tpu.curves.group import G1
+    from ark_blst_tpu.ops import convert as CV
+    from ark_blst_tpu.oracle import curve as OC
+    from ark_blst_tpu.oracle import field as OF
+
+    rng = random.Random(7)
+    base = [OC.g1_mul(OF.G1_GEN, rng.randrange(1, OF.R)) for _ in range(64)]
+    if on_tpu:
+        logn, c, reps, mw = 22, 7, 3, None
+    else:
+        logn, c, reps, mw = 10, 4, 1, 3
+        MP2.INTERPRET = True  # kernel cannot lower natively on CPU
+    pts, scalars, scs_np = _msm_inputs(CV.g1_to_dev, base, logn, seed=7)
+    if mw is not None:  # CPU smoke: small scalars so max_windows is sound
+        scs_np[:] = 0
+        scs_np[0] = np.random.default_rng(7).integers(0, 256, scs_np.shape[-1])
+        import jax.numpy as jnp
+
+        scalars = jnp.asarray(scs_np.astype(np.uint32))
+
+    def run():
+        out = MP2.msm_pallas2(pts, scalars, curve=G1, c=c, max_windows=mw)
+        np.asarray(out[0])
+        return out
+
+    out = run()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    dt = (time.perf_counter() - t0) / reps
+    want = OC.msm(OC.FP_OPS, base, _aggregate(scs_np, 64, OF.R))
+    assert CV.g1_from_dev(out) == [want], "G1 MSM mismatch vs oracle"
+    return logn, c, dt, (1 << logn) / dt
+
+
+def bench_msm_g2():
+    from ark_blst_tpu.curves import msm_pallas2 as MP2
+    from ark_blst_tpu.curves.group import G2
+    from ark_blst_tpu.ops import convert as CV
+    from ark_blst_tpu.oracle import curve as OC
+    from ark_blst_tpu.oracle import field as OF
+
+    rng = random.Random(11)
+    base = [OC.g2_mul(OF.G2_GEN, rng.randrange(1, OF.R)) for _ in range(64)]
+    logn, c, reps = 18, 6, 2
+    pts, scalars, scs_np = _msm_inputs(CV.g2_to_dev, base, logn, seed=11)
+
+    def run():
+        out = MP2.msm_pallas2(pts, scalars, curve=G2, c=c)
+        np.asarray(out[0][0])
+        return out
+
+    out = run()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    dt = (time.perf_counter() - t0) / reps
+    want = OC.msm(OC.FP2_OPS, base, _aggregate(scs_np, 64, OF.R))
+    assert CV.g2_from_dev(out) == [want], "G2 MSM mismatch vs oracle"
+    return logn, dt, (1 << logn) / dt
+
+
+def bench_pairing():
+    import jax
+
+    from ark_blst_tpu.curves import pairing as DP
+    from ark_blst_tpu.oracle import curve as OC
+    from ark_blst_tpu.oracle import field as OF
+    from ark_blst_tpu.oracle import pairing as OP
+    from ark_blst_tpu.ops import convert as CV
+
+    rng = random.Random(3)
+    n = 128
+    ps = [OC.g1_mul(OF.G1_GEN, rng.randrange(1, OF.R)) for _ in range(8)]
+    qs = [OC.g2_mul(OF.G2_GEN, rng.randrange(1, OF.R)) for _ in range(8)]
+    ps = [ps[i % 8] for i in range(n)]
+    qs = [qs[(i * 3 + 1) % 8] for i in range(n)]
+    pdev = (CV.fp_to_dev([p[0] for p in ps]), CV.fp_to_dev([p[1] for p in ps]))
+    qdev = (CV.fp2_to_dev([q[0] for q in qs]), CV.fp2_to_dev([q[1] for q in qs]))
+    fn = jax.jit(lambda p, q: DP.pairing(p, q, fuse=True))
+
+    def run():
+        out = fn(pdev, qdev)
+        np.asarray(out[0][0][0][:, :1])
+        return out
+
+    out = run()
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    dt = (time.perf_counter() - t0) / reps
+    got = CV.fp12_from_dev(out)
+    assert got[0] == OP.pairing(ps[0], qs[0]), "pairing mismatch vs oracle"
+    return n, dt, n / dt
+
+
+def bench_fpmul():
+    import jax
+    from jax import lax
+
+    from ark_blst_tpu.ops import pallas_field as PF
+    from ark_blst_tpu.ops import convert as CV
+    from ark_blst_tpu.ops.limbs import FP
+
+    n, iters = 1 << 20, 32
+    rng = random.Random(0)
+    a = CV.fp_to_dev([rng.randrange(FP.modulus) for _ in range(1 << 10)])
+    import jax.numpy as jnp
+
+    a = jnp.tile(a, (1, n >> 10))
+    b = jnp.roll(a, 7, axis=1)
+
+    @jax.jit
+    def chain(a, b):
+        return lax.fori_loop(0, iters, lambda _, x: PF.mont_mul(x, b, FP), a)
+
+    out = chain(a, b)
+    np.asarray(out[:, :1])
+    t0 = time.perf_counter()
+    out = chain(a, b)
+    np.asarray(out[:, :1])
+    dt = time.perf_counter() - t0
+    return n * iters / dt
+
+
 def main():
     import jax
 
@@ -57,49 +211,34 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 
-    from ark_blst_tpu.curves import msm_pallas as MP
-    from ark_blst_tpu.curves.group import G1
-    from ark_blst_tpu.oracle import curve as OC
-    from ark_blst_tpu.oracle import field as OF
-    from ark_blst_tpu.ops import convert as CV
-
+    logn, c, dt, pps = bench_msm_g1(on_tpu)
+    extra = {
+        "msm_ms": round(dt * 1e3, 1),
+        "window_c": c,
+        "kernel": "msm_pallas2 (lazy radix-13, packed signed buckets)",
+        "input_note": "64 distinct bases tiled (data-independent pipeline; "
+                      "enables full-size oracle verification)",
+        "baseline_note": "size-for-size vs A100 ec-gpu ~1.6e7 pts/s at 2^22"
+        if logn == 22 else "cross-size vs A100 ec-gpu ~1.6e7 pts/s at 2^22",
+    }
     if on_tpu:
-        # signed windows: B=33 buckets, 44 windows; chunked driver with a
-        # fixed 2^18-point chunk so ONE compiled kernel program serves the
-        # timing run, the spot-check, and any larger n
-        logn, c, reps, chunk = 20, 6, 3, 1 << 18
-    else:  # smoke fallback (driver runs this on real TPU hardware)
-        logn, c, reps, chunk = 10, 4, 1, None
-    n = 1 << logn
-
-    rng = random.Random(7)
-    base = [OC.g1_mul(OF.G1_GEN, rng.randrange(1, OF.R)) for _ in range(64)]
-    pts_host = [base[i % 64] for i in range(n)]
-    scs_host = [rng.randrange(OF.R) for _ in range(n)]
-    points = jax.device_put(CV.g1_to_dev(pts_host))
-    scalars = jax.device_put(CV.fr_to_dev(scs_host))
-
-    def call(p, s):
-        if chunk is not None:
-            return MP.msm_pallas_chunked(p, s, curve=G1, c=c, chunk=chunk)
-        return MP.msm_pallas(p, s, curve=G1, c=c)
-
-    def run():
-        out = call(points, scalars)
-        np.asarray(out[0])  # host fetch forces completion
-        return out
-
-    dt, out = _timed(run, reps)
-    pps = n / dt
-
-    # correctness spot-check (oracle differential): zero all but the first
-    # k scalars so the SAME compiled program is reused (a smaller-shape call
-    # would trigger a second multi-minute kernel compile)
-    k = 64
-    scs_check = scs_host[:k] + [0] * (n - k)
-    small = call(points, jax.device_put(CV.fr_to_dev(scs_check)))
-    expected = OC.msm(OC.FP_OPS, pts_host[:k], scs_host[:k])
-    assert CV.g1_from_dev(small) == [expected], "MSM mismatch vs oracle"
+        for name, fn in (
+            ("g2_msm", bench_msm_g2),
+            ("pairing", bench_pairing),
+            ("fp_mul", bench_fpmul),
+        ):
+            try:
+                if name == "g2_msm":
+                    g2_logn, g2_dt, g2_pps = fn()
+                    extra["g2_msm_points_per_s_2^%d" % g2_logn] = round(g2_pps, 1)
+                    extra["g2_msm_ms"] = round(g2_dt * 1e3, 1)
+                elif name == "pairing":
+                    pn, pdt, ppps = fn()
+                    extra["pairings_per_s_batch%d" % pn] = round(ppps, 1)
+                elif name == "fp_mul":
+                    extra["fp_mont_mul_per_s"] = round(fn(), 1)
+            except Exception as e:  # noqa: BLE001 — record, don't kill headline
+                extra[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(
@@ -108,12 +247,7 @@ def main():
                 "value": round(pps, 1),
                 "unit": "points/s",
                 "vs_baseline": round(pps / A100_ECGPU_POINTS_PER_S, 4),
-                "extra": {
-                    "msm_ms": round(dt * 1e3, 1),
-                    "window_c": c,
-                    "chunk": chunk,
-                    "baseline_note": "cross-size vs A100 ec-gpu ~1.6e7 pts/s at 2^22",
-                },
+                "extra": extra,
             }
         )
     )
