@@ -28,7 +28,7 @@ window x group decomposition mirroring ec-gpu's multiexp kernel
   complete formulas (the blst failure case, /root/reference/src/g1.rs:682-689,
   remains a passing case here).
 
-Layouts (G1; G2 doubles the per-coord rows and drops to c=6):
+Layouts (G1; G2 doubles the per-coord rows and drops to c=5):
   points  HBM: (T, 45, 8, 128) uint32   — x,y,z packed balanced digits
   digits  HBM: (W, T, 8, 128)  uint32   — magnitude | sign<<15
   buckets VMEM: (B, 45, 8, 128) uint32  — x,y,z packed
@@ -212,7 +212,7 @@ class KernelCurve2:
 
 
 KC2_G1 = KernelCurve2("g1", 7)
-KC2_G2 = KernelCurve2("g2", 6)
+KC2_G2 = KernelCurve2("g2", 5)  # c=6 (12.2MB scratch) crashes the Mosaic compile
 
 
 def _kernel_curve2(curve: CurveOps) -> KernelCurve2:

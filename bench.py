@@ -122,7 +122,7 @@ def bench_msm_g2():
 
     rng = random.Random(11)
     base = [OC.g2_mul(OF.G2_GEN, rng.randrange(1, OF.R)) for _ in range(64)]
-    logn, c, reps = 18, 6, 2
+    logn, c, reps = 18, 5, 2
     pts, scalars, scs_np = _msm_inputs(CV.g2_to_dev, base, logn, seed=11)
 
     def run():
