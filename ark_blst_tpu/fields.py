@@ -230,6 +230,22 @@ class Fp(_FieldElement):
     def into_bigint(self) -> int:
         return self.v
 
+    @classmethod
+    def from_bigint(cls, v: int):
+        """Exact BigInt conversion (= `From<BigInt<6>>`,
+        /root/reference/src/fp.rs:289-467): None if v >= p."""
+        return cls(v) if 0 <= v < OF.P else None
+
+    @classmethod
+    def from_str(cls, s: str):
+        """Decimal-string parse (= the reference's `FromStr`,
+        /root/reference/src/fp.rs:436-467): raises ValueError for values
+        >= p or malformed input."""
+        v = int(s, 10)
+        if not 0 <= v < OF.P:
+            raise ValueError("value out of range for Fp")
+        return cls(v)
+
 
 # --- Scalar (Fr) -----------------------------------------------------------------
 
@@ -309,6 +325,40 @@ class Scalar(_FieldElement):
         return self.v
 
     # -- sponge Absorb (mirrors /root/reference/src/scalar.rs:661-671) --
+
+    @classmethod
+    def from_bigint(cls, v: int):
+        """None if v >= r (mirrors arkworks' fallible BigInt conversion)."""
+        return cls(v) if 0 <= v < OF.R else None
+
+    @classmethod
+    def from_str(cls, s: str):
+        v = int(s, 10)
+        if not 0 <= v < OF.R:
+            raise ValueError("value out of range for Fr")
+        return cls(v)
+
+    @classmethod
+    def from_random_bytes_with_flags(cls, data: bytes, flag_bit_mask: int = 0):
+        """Arkworks `from_random_bytes_with_flags` semantics (the reference
+        delegates to ark-bls12-381, /root/reference/src/scalar.rs:553-560):
+        interpret `data` as LE bytes with the masked top-byte bits as flags;
+        return (Scalar, flags) if the remaining value is canonical (< r),
+        else None."""
+        if not data or len(data) > 32:
+            return None
+        raw = bytearray(data.ljust(32, b"\x00"))
+        flags = raw[len(data) - 1] & flag_bit_mask
+        raw[len(data) - 1] &= 0xFF ^ flag_bit_mask
+        v = int.from_bytes(bytes(raw), "little")
+        if v >= OF.R:
+            return None
+        return cls(v), flags
+
+    @classmethod
+    def from_random_bytes(cls, data: bytes):
+        out = cls.from_random_bytes_with_flags(data, 0)
+        return out[0] if out else None
 
     def to_sponge_bytes(self) -> bytes:
         """= serialize_compressed (the reference delegates exactly so)."""

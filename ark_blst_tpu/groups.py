@@ -201,6 +201,15 @@ class _ProjectiveMixin:
         return cls(aff.p)
 
     @classmethod
+    def batch_check(cls, points) -> None:
+        """Batch validation (= `Valid::batch_check` on the projective types,
+        /root/reference/src/g1.rs:565-580): normalize the batch, then run
+        the full on-curve + subgroup check on every element; raises
+        ValueError on the first invalid point."""
+        for aff in cls.batch_normalize(points):
+            aff.check()
+
+    @classmethod
     def batch_normalize(cls, points):
         """Projective batch -> affine batch (= `normalize_batch`,
         /root/reference/src/g1.rs:537-543). Host path (values are affine

@@ -351,3 +351,37 @@ def test_hash_and_eq():
     g = G1Affine.generator()
     assert hash(g) == hash(G1Affine(g.p))
     assert len({Fp(1), Fp(1), Fp(2)}) == 2
+
+
+def test_api_long_tail_conversions():
+    """from_str / from_bigint / from_random_bytes(_with_flags) / batch_check
+    (= /root/reference/src/fp.rs:289-467, src/scalar.rs:553-560,
+    src/g1.rs:565-580)."""
+    import random
+
+    import pytest as _pytest
+
+    from ark_blst_tpu import G1Projective, G2Projective, Scalar
+    from ark_blst_tpu.fields import Fp
+    from ark_blst_tpu.oracle import field as OF
+
+    assert Fp.from_str(str(OF.P - 1)).v == OF.P - 1
+    with _pytest.raises(ValueError):
+        Fp.from_str(str(OF.P))
+    assert Fp.from_bigint(OF.P) is None
+    assert Scalar.from_bigint(OF.R - 1).v == OF.R - 1
+
+    s, flags = Scalar.from_random_bytes_with_flags(
+        b"\x2a" + b"\x00" * 30 + b"\xc0", 0xC0
+    )
+    assert s.v == 42 and flags == 0xC0
+    assert Scalar.from_random_bytes((OF.R).to_bytes(32, "little")) is None
+    assert Scalar.from_random_bytes((7).to_bytes(16, "little")).v == 7
+
+    rng = random.Random(5)
+    G1Projective.batch_check([G1Projective.rand(rng) for _ in range(3)])
+    G2Projective.batch_check([G2Projective.rand(rng) for _ in range(2)])
+    bad = G1Projective.rand(rng)
+    bad.p = (1, 1)  # not on curve
+    with _pytest.raises(ValueError):
+        G1Projective.batch_check([bad])
