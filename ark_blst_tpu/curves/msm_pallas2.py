@@ -580,6 +580,10 @@ def msm_pallas2(points, scalars, curve: CurveOps = G1, c: int | None = None,
     kc = _kernel_curve2(curve)
     if c is None:
         c = kc.c_default
+    # clear failure for oversized windows instead of an opaque Mosaic error
+    assert _num_buckets(c) * kc.pt_rows * TILE * 4 <= 12 << 20, (
+        f"c={c} bucket scratch exceeds the VMEM budget for {kc.name}"
+    )
     n = scalars.shape[-1]
     if n == 0:
         return curve.identity((1,))

@@ -163,8 +163,9 @@ def test_bucket_accumulate_shapes_trace():
 #
 # The chunk loop's wiring (padding, fixed-shape slicing, window-sum
 # accumulation, cancellation) is tested here with the kernel stage replaced
-# by a cheap linear fake; numeric chunk-vs-oracle equality runs on hardware
-# (tests/test_tpu_lane.py). `plan_chunk` is pure logic.
+# by a cheap linear fake; numeric chunked-vs-single equality runs on
+# hardware via tests/test_tpu_lane.py::test_msm_pallas2_chunked_equals_single.
+# `plan_chunk` is pure logic.
 
 from ark_blst_tpu.curves import msm_pallas as MP
 
