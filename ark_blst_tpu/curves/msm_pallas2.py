@@ -581,7 +581,9 @@ def msm_pallas2(points, scalars, curve: CurveOps = G1, c: int | None = None,
     if c is None:
         c = kc.c_default
     # clear failure for oversized windows instead of an opaque Mosaic error
-    assert _num_buckets(c) * kc.pt_rows * TILE * 4 <= 12 << 20, (
+    # (empirical ceiling: G1 c=7 scratch = 11.98 MB compiles; G2 c=6 =
+    # 12.16 MB crashes the Mosaic compile)
+    assert _num_buckets(c) * kc.pt_rows * TILE * 4 <= 12_000_000, (
         f"c={c} bucket scratch exceeds the VMEM budget for {kc.name}"
     )
     n = scalars.shape[-1]
