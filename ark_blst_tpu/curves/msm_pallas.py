@@ -329,7 +329,7 @@ def _accumulate(pts_arr, digs_arr, kc: _KernelCurve, c: int, signed: bool):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((B, rows, SLOTS, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA,
