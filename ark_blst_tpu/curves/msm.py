@@ -289,7 +289,7 @@ def msm_auto(points, scalars, curve: CurveOps = G1, hbm_budget_bytes: int = 6 <<
     """MSM with the execution strategy chosen automatically.
 
     On TPU: the v2 lazy-engine VMEM-bucket kernel with the largest signed
-    window whose bucket array fits VMEM (G1: c=7, G2: c=6), via the
+    window whose bucket array fits VMEM (G1: c=7, G2: c=5), via the
     HBM-budgeted chunked driver (msm_pallas2) — compiled chunk programs
     reused for any n, with the `maybe_abort` cancellation hook honored
     between chunk dispatches (TPU-only: off-TPU backends ignore it after

@@ -580,6 +580,8 @@ def msm_pallas2(points, scalars, curve: CurveOps = G1, c: int | None = None,
     kc = _kernel_curve2(curve)
     if c is None:
         c = kc.c_default
+    if c < 2:
+        raise ValueError(f"MSM window c must be >= 2, got {c}")
     # clear failure for oversized windows instead of an opaque Mosaic error
     # (empirical ceiling: G1 c=7 scratch = 11.98 MB compiles; G2 c=6 =
     # 12.16 MB crashes the Mosaic compile)

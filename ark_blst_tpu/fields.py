@@ -124,6 +124,10 @@ class _FieldElement:
         e = exponent
         if e < 0:
             base = base.inverse()
+            if base is None:
+                raise ZeroDivisionError(
+                    f"{self._name}: negative power of zero"
+                )
             e = -e
         while e > 0:
             if e & 1:
@@ -342,14 +346,16 @@ class Scalar(_FieldElement):
     def from_random_bytes_with_flags(cls, data: bytes, flag_bit_mask: int = 0):
         """Arkworks `from_random_bytes_with_flags` semantics (the reference
         delegates to ark-bls12-381, /root/reference/src/scalar.rs:553-560):
-        interpret `data` as LE bytes with the masked top-byte bits as flags;
-        return (Scalar, flags) if the remaining value is canonical (< r),
-        else None."""
-        if not data or len(data) > 32:
+        zero-pad `data` to the 32-byte serialized size, read the flag bits
+        from the FIXED last byte of that buffer, shave the bits at and above
+        MODULUS_BIT_SIZE (bit 255 for Fr) like arkworks' last-limb mask, and
+        return (Scalar, flags) iff the remaining value is canonical (< r).
+        Empty input is Some(0); input longer than 32 bytes is None."""
+        if len(data) > 32:
             return None
-        raw = bytearray(data.ljust(32, b"\x00"))
-        flags = raw[len(data) - 1] & flag_bit_mask
-        raw[len(data) - 1] &= 0xFF ^ flag_bit_mask
+        raw = bytearray(bytes(data).ljust(32, b"\x00"))
+        flags = raw[31] & flag_bit_mask
+        raw[31] &= (0xFF ^ flag_bit_mask) & 0x7F  # shave bit 255 + flag bits
         v = int.from_bytes(bytes(raw), "little")
         if v >= OF.R:
             return None
@@ -380,9 +386,10 @@ def field_cast(x, target):
     return target.from_le_bytes_mod_order(x.into_bigint().to_bytes(64, "little"))
 
 
-# FftField constants need Scalar defined first.
-Scalar.GENERATOR = None  # set below
-Scalar.TWO_ADIC_ROOT_OF_UNITY = None
+# FftField constants (bound here, immediately after the class, so no code
+# can observe a placeholder — /root/reference/src/scalar.rs:465-471).
+Scalar.GENERATOR = Scalar(OF.FR_GENERATOR)
+Scalar.TWO_ADIC_ROOT_OF_UNITY = Scalar(OF.FR_ROOT_OF_UNITY)
 
 
 # --- Fp2 ---------------------------------------------------------------------
@@ -612,8 +619,3 @@ class Fp12(_FieldElement):
 
 
 Gt = Fp12  # export alias, /root/reference/src/lib.rs:12
-
-
-# late-bound Scalar FFT constants (need the class object)
-Scalar.GENERATOR = Scalar(OF.FR_GENERATOR)
-Scalar.TWO_ADIC_ROOT_OF_UNITY = Scalar(OF.FR_ROOT_OF_UNITY)

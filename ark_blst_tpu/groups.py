@@ -107,7 +107,7 @@ class _PointBase:
         return self._projective(OC.add(self._ops, self.p, self._other(other)))
 
     def __sub__(self, other):
-        return self + (-other if isinstance(other, _PointBase) else -other)
+        return self + (-other)
 
     def __neg__(self):
         return type(self)(OC.neg(self._ops, self.p))
@@ -140,7 +140,8 @@ class _PointBase:
         return type(self)(OC.scalar_mul(self._ops, self.p, self._cofactor))
 
     def mul_by_cofactor_inv(self):
-        assert self._cofactor_inv is not None, "G2 cofactor inverse unused"
+        """Multiply by COFACTOR_INV = cofactor^-1 mod r (G1:
+        /root/reference/src/g1.rs:49-52; G2: src/g2.rs:56-58)."""
         return type(self)(OC.scalar_mul(self._ops, self.p, self._cofactor_inv))
 
     def _other(self, other):
@@ -226,22 +227,26 @@ class _ProjectiveMixin:
         construction).
 
         backend: "device" (TPU Pippenger pipeline, curves/msm.py),
-        "host" (oracle fold), or None = auto (device iff running on TPU).
+        "host" (pure-Python windowed Pippenger, oracle.curve.msm_pippenger),
+        or None = auto (device iff running on TPU).
 
-        Window-size note: on the TPU path the kernel honors `c` up to the
-        VMEM bucket cap (7 for G1, 6 for G2, curves/msm_pallas2.py) and
+        Window-size note: `c` must be >= 2; on the TPU path the kernel
+        honors it up to the VMEM bucket cap (7 for G1, 5 for G2 — c=6 G2
+        scratch exceeds the Mosaic VMEM ceiling, curves/msm_pallas2.py) and
         clamps above it; `lanes` applies only to the off-TPU scan pipeline
         (the kernel's parallelism is fixed at 1024 streams by the VPU tile).
         """
         import jax
 
         assert len(bases) == len(scalars)
+        if c < 2:
+            raise ValueError(f"MSM window c must be >= 2, got {c}")
         ss = [s.v if isinstance(s, Scalar) else int(s) % OF.R for s in scalars]
         pts = [b.p for b in bases]
         if backend is None:
             backend = "device" if jax.default_backend() == "tpu" else "host"
         if backend == "host" or len(bases) == 0:
-            return cls(OC.msm(cls._ops, pts, ss))
+            return cls(OC.msm_pippenger(cls._ops, pts, ss))
 
         from .curves import msm as M
         from .ops import convert as CV
@@ -342,7 +347,7 @@ class G2Affine(_PointBase):
     _ops = OC.FP2_OPS
     _gen = OF.G2_GEN
     _cofactor = OF.H_G2
-    _cofactor_inv = None
+    _cofactor_inv = OF.H_G2_INV_MOD_R
     _compressed_size = 96
     _uncompressed_size = 192
     _coord_wrap = Fp2
@@ -365,7 +370,7 @@ class G2Projective(_ProjectiveMixin, _PointBase):
     _ops = G2Affine._ops
     _gen = G2Affine._gen
     _cofactor = G2Affine._cofactor
-    _cofactor_inv = None
+    _cofactor_inv = G2Affine._cofactor_inv
     _compressed_size = 96
     _uncompressed_size = 192
     _coord_wrap = Fp2

@@ -115,6 +115,45 @@ def msm(ops, points, scalars):
     return out
 
 
+def msm_pippenger(ops, points, scalars, c: int | None = None):
+    """Windowed bucket-method MSM on host ints — the production host
+    fallback, playing the role of blst's parallel Pippenger on the CPU path
+    (/root/reference/src/g1.rs:602-619). O(n + 2^c) group adds per window
+    instead of the naive fold's O(n * 255) doublings. Differentially tested
+    against `msm` (the oracle above)."""
+    n = len(points)
+    if n == 0:
+        return None
+    if c is None:
+        # c ~ log2(n) - log2(log2(n)): minimizes (255/c)*(n + 2^c), same
+        # spirit as the reference GPU layer's log2(n/work_units)+2 heuristic
+        # (/root/reference/src/gpu.rs:218-223)
+        logn = max(1, n.bit_length() - 1)
+        c = max(2, min(16, logn - logn.bit_length() + 2))
+    num_windows = (255 + c - 1) // c
+    mask = (1 << c) - 1
+    ss = [s % F.R for s in scalars]
+    total = None
+    for w in range(num_windows - 1, -1, -1):
+        if total is not None:
+            for _ in range(c):
+                total = double(ops, total)
+        buckets = [None] * (1 << c)
+        for pt, s in zip(points, ss):
+            d = (s >> (c * w)) & mask
+            if d:
+                buckets[d] = add(ops, buckets[d], pt)
+        running = None
+        window_sum = None
+        for b in range(len(buckets) - 1, 0, -1):
+            if buckets[b] is not None:
+                running = add(ops, running, buckets[b])
+            if running is not None:
+                window_sum = add(ops, window_sum, running)
+        total = add(ops, total, window_sum)
+    return total
+
+
 # Convenience G1/G2 wrappers ---------------------------------------------------
 
 def g1_add(p1, p2):

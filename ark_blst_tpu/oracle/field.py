@@ -51,6 +51,7 @@ H_G2 = (
     - 4 * BLS_X**2 - 4 * BLS_X + 13
 ) // 9
 H_G1_INV_MOD_R = pow(H_G1, -1, R)  # COFACTOR_INV, /root/reference/src/g1.rs:49-52
+H_G2_INV_MOD_R = pow(H_G2, -1, R)  # COFACTOR_INV, /root/reference/src/g2.rs:56-58
 
 # Scalar-field FFT constants (real ones live on Fr, /root/reference/src/scalar.rs:465-471).
 FR_TWO_ADICITY = 32

@@ -385,3 +385,82 @@ def test_api_long_tail_conversions():
     bad.p = (1, 1)  # not on curve
     with _pytest.raises(ValueError):
         G1Projective.batch_check([bad])
+
+
+def test_field_pow_edge_cases():
+    """pow with a negative exponent inverts first (x^-1 * x = 1) and raises
+    cleanly (not AttributeError) on zero."""
+    import pytest as _pytest
+
+    from ark_blst_tpu.fields import Fp, Scalar
+
+    for F in (Fp, Scalar):
+        x = F(12345)
+        assert x.pow(-1) * x == F.one()
+        assert x.pow(-3) * x.pow(3) == F.one()
+        with _pytest.raises(ZeroDivisionError):
+            F.zero().pow(-1)
+        assert F.zero().pow(0) == F.one()
+
+
+def test_from_random_bytes_arkworks_semantics():
+    """Arkworks parity (ADVICE r3): empty input is zero; bit 255 is shaved
+    BEFORE the canonicality check; flags read from the fixed byte 31."""
+    from ark_blst_tpu.fields import Scalar
+    from ark_blst_tpu.oracle import field as OF
+
+    assert Scalar.from_random_bytes(b"").v == 0
+    # value with bit 255 set: arkworks shaves it and then succeeds
+    v = 5 | (1 << 255)
+    s = Scalar.from_random_bytes(v.to_bytes(32, "little"))
+    assert s is not None and s.v == 5
+    # flags live at byte 31 of the padded buffer even for short input
+    out = Scalar.from_random_bytes_with_flags(b"\x07", 0xC0)
+    assert out is not None and out[0].v == 7 and out[1] == 0
+    assert Scalar.from_random_bytes(b"\x00" * 33) is None
+
+
+def test_g2_cofactor_inv():
+    """G2 COFACTOR_INV parity (/root/reference/src/g2.rs:56-58): h^-1 mod r
+    undoes clear_cofactor on subgroup points, for G1 and G2."""
+    import random
+
+    from ark_blst_tpu import G1Projective, G2Projective
+    from ark_blst_tpu.oracle import field as OF
+
+    rng = random.Random(9)
+    for Proj, h in ((G1Projective, OF.H_G1), (G2Projective, OF.H_G2)):
+        p = Proj.rand(rng)  # in the r-torsion subgroup by construction
+        q = p.mul_by_cofactor().mul_by_cofactor_inv()
+        assert q == type(q)(p.p)
+        assert Proj._cofactor_inv == pow(h, -1, OF.R)
+
+
+def test_host_pippenger_matches_oracle():
+    """The production host MSM (windowed buckets) against the naive fold
+    oracle, with identity points and zero scalars in the mix
+    (/root/reference/src/g1.rs:602-619 role)."""
+    import random
+
+    from ark_blst_tpu.oracle import curve as OC
+    from ark_blst_tpu.oracle import field as OF
+
+    rng = random.Random(21)
+    for ops, gen in ((OC.FP_OPS, OF.G1_GEN), (OC.FP2_OPS, OF.G2_GEN)):
+        pts = [OC.scalar_mul(ops, gen, rng.randrange(1, OF.R)) for _ in range(9)]
+        pts[3] = None  # identity point
+        scs = [rng.randrange(OF.R) for _ in range(9)]
+        scs[5] = 0
+        for c in (None, 2, 8):
+            got = OC.msm_pippenger(ops, pts, scs, c=c)
+            assert got == OC.msm(ops, pts, scs)
+    assert OC.msm_pippenger(OC.FP_OPS, [], []) is None
+
+
+def test_msm_rejects_tiny_window():
+    import pytest as _pytest
+
+    from ark_blst_tpu import G1Affine, G1Projective, Scalar
+
+    with _pytest.raises(ValueError):
+        G1Projective.msm([G1Affine.generator()], [Scalar(1)], c=1)
