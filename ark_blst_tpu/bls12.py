@@ -117,31 +117,66 @@ class Bls12:
         return cls.final_exponentiation(cls.multi_miller_loop(ps, qs, backend))
 
     @staticmethod
-    def pairing_batch(ps, qs, fuse=None):
-        """Elementwise batched pairings on device: [e(P_i, Q_i)] as a list of
-        Gt — the TPU throughput entry point (no reference analog; its GPU
-        layer never reached the pairing)."""
+    def prepare_g2_batch(qs, fuse=None):
+        """Device-side G2 line-coefficient precomputation, returned as a
+        `curves.pairing.DeviceG2Prepared` for reuse across `pairing_batch`
+        calls — the amortization that is the whole point of `G2Prepared`
+        (/root/reference/src/g2.rs:650-694), on the device path."""
+        import jax.numpy as jnp
+        import numpy as np
+
         from .curves import pairing as DP
         from .ops import convert as CV
 
-        ps = [_as_g1_affine(p) for p in ps]
-        if any(isinstance(q, G2Prepared) for q in qs):
-            raise ValueError("device path takes raw G2 points, not G2Prepared")
         qs = [q.into_affine() if isinstance(q, G2Projective) else q for q in qs]
-        import numpy as np
-
-        p_inf = np.array([p.is_zero() for p in ps])
         q_inf = np.array([q.is_zero() for q in qs])
-        gen1, gen2 = G1Affine.generator().p, G2Affine.generator().p
-        px, py = zip(*[(gen1 if p.is_zero() else p.p) for p in ps])
+        gen2 = G2Affine.generator().p
         qv = [gen2 if q.is_zero() else q.p for q in qs]
-        pdev = (CV.fp_to_dev(list(px)), CV.fp_to_dev(list(py)))
         qdev = (
             CV.fp2_to_dev([q[0] for q in qv]),
             CV.fp2_to_dev([q[1] for q in qv]),
         )
-        import jax.numpy as jnp
+        return DP.prepare_g2_device(qdev, q_inf=jnp.asarray(q_inf), fuse=fuse)
 
+    @staticmethod
+    def pairing_batch(ps, qs, fuse=None):
+        """Elementwise batched pairings on device: [e(P_i, Q_i)] as a list of
+        Gt — the TPU throughput entry point (no reference analog; its GPU
+        layer never reached the pairing). `qs` may be a list of G2 points OR
+        a `DeviceG2Prepared` from `prepare_g2_batch` (prepare once, pair
+        many — skips the line precomputation entirely)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .curves import pairing as DP
+        from .ops import convert as CV
+
+        ps = [_as_g1_affine(p) for p in ps]
+        p_inf = np.array([p.is_zero() for p in ps])
+        gen1 = G1Affine.generator().p
+        px, py = zip(*[(gen1 if p.is_zero() else p.p) for p in ps])
+        pdev = (CV.fp_to_dev(list(px)), CV.fp_to_dev(list(py)))
+
+        if isinstance(qs, DP.DeviceG2Prepared):
+            assert qs.n == len(ps), "prepared batch size mismatch"
+            out = DP.pairing_prepared(
+                pdev, qs, p_inf=jnp.asarray(p_inf), fuse=fuse
+            )
+            return [Gt(v) for v in CV.fp12_from_dev(out)]
+
+        if any(isinstance(q, G2Prepared) for q in qs):
+            raise ValueError(
+                "device path takes raw G2 points or a DeviceG2Prepared "
+                "(Bls12.prepare_g2_batch), not host G2Prepared"
+            )
+        qs = [q.into_affine() if isinstance(q, G2Projective) else q for q in qs]
+        q_inf = np.array([q.is_zero() for q in qs])
+        gen2 = G2Affine.generator().p
+        qv = [gen2 if q.is_zero() else q.p for q in qs]
+        qdev = (
+            CV.fp2_to_dev([q[0] for q in qv]),
+            CV.fp2_to_dev([q[1] for q in qv]),
+        )
         out = DP.pairing(
             pdev, qdev, p_inf=jnp.asarray(p_inf), q_inf=jnp.asarray(q_inf), fuse=fuse
         )

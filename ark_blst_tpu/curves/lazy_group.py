@@ -85,20 +85,22 @@ class LazyOps:
         return LZ.scale(a, 12)
 
     def mulp(self, pairs):
-        """Batched product round: pairs of mul-legal operands -> list of
-        prered values (Fp) / prered pairs (Fp2). One concatenated wide
-        multiply keeps the traced op count independent of len(pairs)."""
+        """Batched product round: pairs of MUL-READY operands (|d| <= F;
+        callers fold_sum any sum-of-2 first) -> list of prered values (Fp) /
+        prered pairs (Fp2). One concatenated wide multiply keeps the traced
+        op count independent of len(pairs); mul-ready operands let it run
+        the hybrid Karatsuba (-28% product eops vs schoolbook)."""
         if not self.is_fp2:
             a = _concat([p[0] for p in pairs])
             b = _concat([p[1] for p in pairs])
-            return _split(LZ.prered(LZ.mul_wide(a, b)), len(pairs))
+            return _split(LZ.prered(LZ.mul_wide_f(a, b)), len(pairs))
         # Karatsuba batched at the leg level: 3 legs per pair
         legs_a, legs_b = [], []
         for (a, b) in pairs:
             legs_a += [a[0], a[1], LZ.fold_sum(LZ.add(a[0], a[1]))]
             legs_b += [b[0], b[1], LZ.fold_sum(LZ.add(b[0], b[1]))]
         outs = _split(
-            LZ.prered(LZ.mul_wide(_concat(legs_a), _concat(legs_b))),
+            LZ.prered(LZ.mul_wide_f(_concat(legs_a), _concat(legs_b))),
             3 * len(pairs),
         )
         res = []
@@ -133,7 +135,7 @@ class LazyOps:
     def one(self, like):
         ref = like[0] if not self.is_fp2 else like[0][0]
         zero = ref * 0
-        o = [zero + jnp.int32(v) if v else zero for v in LZ.ONE13] + [zero]
+        o = [zero + jnp.int32(v) if v else zero for v in LZ.ONE13]
         if self.is_fp2:
             return (o, [zero] * LZ.ELEM)
         return o
@@ -145,8 +147,8 @@ class LazyOps:
 
     def load31(self, a):
         if self.is_fp2:
-            return (LZ.load31(a[0]), LZ.load31(a[1]))
-        return LZ.load31(a)
+            return (LZ.load_elem(a[0]), LZ.load_elem(a[1]))
+        return LZ.load_elem(a)
 
 
 FP_LAZY = LazyOps("fp")
@@ -166,7 +168,8 @@ def mixed_add(f: LazyOps, p1, p2):
         (Y1, Y2),                                # t1
         (Y2, Z1),                                # u1
         (X2, Z1),                                # u2
-        (f.add(X1, Y1), f.add(X2, Y2)),          # m3: 2F x 2F (legal)
+        (f.fold_sum(f.add(X1, Y1)),
+         f.fold_sum(f.add(X2, Y2))),             # m3: folded to F (Karatsuba)
     ])
     t0, t1, u1, u2, m3 = f.red(r1)                           # all F
     t3 = f.fold_sum(f.sub(f.sub(m3, t0), t1))                # 3F -> F
@@ -174,16 +177,17 @@ def mixed_add(f: LazyOps, p1, p2):
     ty = f.add(X1, u2)                                       # X1 + X2 Z1: 2F
     t0t = f.fold_sum(f.scale(t0, 3))                         # 3F -> F
     t2b = f.fold_sum(f.mul_b3(Z1))                           # <=24F -> F
-    z3 = f.add(t1, t2b)                                      # 2F
-    t1m = f.sub(t1, t2b)                                     # 2F
+    z3 = f.fold_sum(f.add(t1, t2b))                          # 2F -> F
+    t1m = f.fold_sum(f.sub(t1, t2b))                         # 2F -> F
+    t4 = f.fold_sum(t4)                                      # 2F -> F
     tyb = f.fold_sum(f.mul_b3(ty))                           # <=48F -> F
     r2 = f.mulp([
-        (t4, tyb),    # a   2F x F
-        (t3, t1m),    # b   F x 2F
-        (tyb, t0t),   # c   F x F
-        (t1m, z3),    # d   2F x 2F
-        (t0t, t3),    # e   F x F
-        (z3, t4),     # g   2F x 2F
+        (t4, tyb),    # a
+        (t3, t1m),    # b
+        (tyb, t0t),   # c
+        (t1m, z3),    # d
+        (t0t, t3),    # e
+        (z3, t4),     # g
     ])
     a, b, c, d, e, g = r2
     X3, Y3, Z3 = f.red([f.wsub(b, a), f.wadd(d, c), f.wadd(g, e)])
@@ -199,9 +203,9 @@ def full_add(f: LazyOps, p1, p2):
         (X1, X2),
         (Y1, Y2),
         (Z1, Z2),
-        (f.add(X1, Y1), f.add(X2, Y2)),   # 2F x 2F: legal
-        (f.add(Y1, Z1), f.add(Y2, Z2)),
-        (f.add(X1, Z1), f.add(X2, Z2)),
+        (f.fold_sum(f.add(X1, Y1)), f.fold_sum(f.add(X2, Y2))),  # -> F
+        (f.fold_sum(f.add(Y1, Z1)), f.fold_sum(f.add(Y2, Z2))),
+        (f.fold_sum(f.add(X1, Z1)), f.fold_sum(f.add(X2, Z2))),
     ])
     t0, t1, t2, m3, m4, m5 = f.red(r1)
     t3 = f.fold_sum(f.sub(f.sub(m3, t0), t1))      # X1Y2 + X2Y1
@@ -209,8 +213,8 @@ def full_add(f: LazyOps, p1, p2):
     ty = f.fold_sum(f.sub(f.sub(m5, t0), t2))      # X1Z2 + X2Z1
     t0t = f.fold_sum(f.scale(t0, 3))
     t2b = f.fold_sum(f.mul_b3(t2))
-    z3 = f.add(t1, t2b)
-    t1m = f.sub(t1, t2b)
+    z3 = f.fold_sum(f.add(t1, t2b))
+    t1m = f.fold_sum(f.sub(t1, t2b))
     tyb = f.fold_sum(f.mul_b3(ty))
     a, b, c, d, e, g = f.mulp([
         (t4, tyb), (t3, t1m), (tyb, t0t), (t1m, z3), (t0t, t3), (z3, t4),
@@ -225,7 +229,7 @@ def double(f: LazyOps, p):
     t0, tyz, tzz, txy = f.red(f.mulp([(Y, Y), (Y, Z), (Z, Z), (X, Y)]))
     y8 = f.fold_sum(f.scale(t0, 8))
     t2 = f.fold_sum(f.mul_b3(tzz))
-    ysum = f.add(t0, t2)                                   # 2F
+    ysum = f.fold_sum(f.add(t0, t2))                       # 2F -> F
     tdiff = f.fold_sum(f.sub(t0, f.scale(t2, 3)))          # 4F -> F
     x3m, Z3, aa, bb = f.mulp([(t2, y8), (tyz, y8), (tdiff, ysum), (tdiff, txy)])
     X3w = f.wadd(bb, bb)

@@ -91,8 +91,8 @@ def window_digits(scalars, c: int):
 
 
 def window_digits_signed(scalars, c: int):
-    """(16, N) plain FR limbs -> (W+1, N) SIGNED window digits packed as
-    `magnitude | (sign << 15)`, magnitude in [0, 2^(c-1)].
+    """(16, N) plain FR limbs -> (W, N) SIGNED window digits packed as
+    `magnitude | (sign << 15)`, magnitude in [0, 2^(c-1)], W = ceil(256/c).
 
     Standard signed-window transform: digit d and carry k satisfy
     raw_j + k_j = d_j + 2^c * k_{j+1} with d_j in [-2^(c-1), 2^(c-1)),
@@ -100,11 +100,18 @@ def window_digits_signed(scalars, c: int):
     the bucket array shrinks to 2^(c-1)+1 entries and the point is
     conditionally negated instead — profitable exactly because group
     negation is free (`NEGATION_IS_CHEAP`, /root/reference/src/g1.rs:593-600).
-    One extra top window absorbs the final carry.
+
+    No extra carry window is needed: scalars are < r < 2^255 while the W
+    raw windows span W*c >= 256 bits, so the top raw digit is at most
+    2^(255 - (W-1)*c) - 1 and even with an incoming carry stays <= 2^(c-1)
+    — it can never go negative, so the final carry is provably zero.
+    (Round 3 appended an always-zero 38th window; this costs 1/38 of the
+    whole MSM kernel.)
     """
     assert 2 <= c <= LIMB_BITS - 1
     raw = window_digits(scalars, c)  # (W, N)
     W = raw.shape[0]
+    assert W * c >= 256, "signed transform needs >= 1 slack bit at the top"
     half = jnp.uint32(1 << (c - 1))
     full = jnp.uint32(1 << c)
     digs = []
@@ -115,8 +122,7 @@ def window_digits_signed(scalars, c: int):
         mag = jnp.where(neg, full - d, d)
         carry = neg.astype(jnp.uint32)
         digs.append(mag | (neg.astype(jnp.uint32) << 15))
-    digs.append(carry)  # top window: 0 or 1, always positive
-    return jnp.stack(digs)  # (W+1, N)
+    return jnp.stack(digs)  # (W, N)
 
 
 def _scan(body, init, xs, length: int, fuse: bool):

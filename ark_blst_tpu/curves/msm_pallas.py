@@ -435,8 +435,9 @@ class MsmAborted(RuntimeError):
 
 
 def _num_windows(c: int, signed: bool) -> int:
-    # matches msm.window_digits{,_signed}: signed digits append one carry window
-    return (256 + c - 1) // c + (1 if signed else 0)
+    # matches msm.window_digits{,_signed}: both span ceil(256/c) windows
+    # (the signed transform needs no carry window — scalars are < 2^255)
+    return (256 + c - 1) // c
 
 
 def plan_chunk(kc: _KernelCurve, c: int, signed: bool = True,

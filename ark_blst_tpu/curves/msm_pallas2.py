@@ -1,19 +1,25 @@
 """Pallas MSM kernel v2: lazy radix-13 arithmetic + packed VMEM buckets.
 
-Round-3 rebuild of the VMEM bucket kernel (msm_pallas.py) for ~2.5-3x
-single-chip throughput. Same architecture — buckets resident in VMEM scratch,
-one grid step per (window, point-tile), per-stream one-hot bucket access,
-window x group decomposition mirroring ec-gpu's multiexp kernel
-(/root/reference/src/gpu.rs:126-210, groups at :138-146) — but:
+Round-3 rebuild of the VMEM bucket kernel (msm_pallas.py), round-4 tightened.
+Same architecture — buckets resident in VMEM scratch, one grid step per
+(window, point-tile), per-stream one-hot bucket access, window x group
+decomposition mirroring ec-gpu's multiexp kernel
+(/root/reference/src/gpu.rs:126-210, groups at :138-146) — with:
 
-* Field math is the signed balanced radix-13 lazy engine (ops/lazy13.py):
-  ~5-6K element-ops per Montgomery multiply vs ~31K for the strict radix-16
-  XLA pipeline (no Kogge-Stone normalization, no cond_sub, free signed subs,
-  one reduction per output coordinate).
+* Field math in the signed balanced radix-13 lazy engine (ops/lazy13.py):
+  hybrid-Karatsuba products, one Montgomery reduction per output coordinate.
+* AFFINE kernel inputs + complete MIXED addition (round 4): the bucket add
+  drops from 12 to 11 field muls and a point streams 30 packed rows instead
+  of 45. The affine conversion runs INSIDE the prepare program as a blocked
+  Montgomery batch inversion (~3 muls/point) — the round-3 objection to
+  affine ingest was the eager-composed inversion tree's per-dispatch cost,
+  which a single fused program does not pay. Identity points cannot be
+  represented affinely; their window digits are masked to the dropped
+  bucket 0 instead (the blst failure case, /root/reference/src/g1.rs:682-689,
+  remains a passing case here).
 * Buckets and points are stored PACKED: two balanced 13-bit digits per
-  uint32 (bias 4129). A G1 bucket point is 45 rows instead of 72, so the
-  c=7 signed window (B = 65 buckets) fits the ~12 MB VMEM scratch budget:
-  W = 38 windows instead of 44.
+  uint32 (bias 4129). A G1 bucket point is 45 rows; the c=7 signed window
+  (B = 65 buckets) fits VMEM as two half-size scratch tensors.
 * The pipeline is exactly THREE jit programs per chunk (prepare, kernel,
   reduce) plus one finish program, each with a handful of STACKED array
   inputs/outputs. This matters independently of compute: the remote-TPU
@@ -21,19 +27,13 @@ window x group decomposition mirroring ec-gpu's multiexp kernel
   jit boundary (measured ~2.3 s for a single no-op-sized call carrying a
   ~280-array lazy-point pytree — scripts/tpu_fold_probe.py), so lazy points
   only ever cross boundaries as single stacked arrays.
-* Kernel inputs are PROJECTIVE (complete RCB15 add, 12 muls): an affine
-  conversion would save one multiply per bucket add but costs a batched
-  Montgomery inversion at ingest whose eager-composed dispatch overhead
-  dwarfs the saving on this platform. Identity inputs are absorbed by the
-  complete formulas (the blst failure case, /root/reference/src/g1.rs:682-689,
-  remains a passing case here).
 
-Layouts (G1; G2 doubles the per-coord rows and drops to c=5):
-  points  HBM: (T, 45, 8, 128) uint32   — x,y,z packed balanced digits
+Layouts (G1; G2 doubles the per-coord rows):
+  points  HBM: (aff_rows, T, 8, 128) uint32 — x,y packed balanced digits
   digits  HBM: (W, T, 8, 128)  uint32   — magnitude | sign<<15
-  buckets VMEM: (B, 45, 8, 128) uint32  — x,y,z packed
-  dump    HBM: (W, B, 45, 8, 128) uint32
-  wsums   (stacked): (3*ELEM, W) int32  — lazy window sums, one array
+  buckets VMEM: parts of (B_p, pt_rows, 8, 128) uint32 — x,y,z packed
+  dump    HBM: (W, B, pt_rows, 8, 128) uint32
+  wsums   (stacked): (n_fp*ELEM, W) int32 — lazy window sums, one array
 """
 
 from __future__ import annotations
@@ -66,11 +66,44 @@ MAG_MASK = (1 << SIGN_BIT) - 1
 
 INTERPRET = False  # test hook: run the Pallas kernel in interpreter mode
 
+# empirical Mosaic ceiling is ~12MB of VMEM scratch; keep every scratch
+# tensor comfortably below it by splitting the bucket array into parts
+PART_BYTES = 8 << 20
+
 R16_MOD_P = (1 << (16 * FP.num_limbs)) % P
 # v*R16 -> v*R13 under lazy mont (x*C/R13): C = R13^2 / R16 mod p
 R16_TO_R13 = LZ.R13_MOD_P * LZ.R13_MOD_P % P * pow(R16_MOD_P, -1, P) % P
 R16_TO_R13_DIGITS = [int(v) for v in LZ.int_to_digits(R16_TO_R13)]
 R16_DIGITS = [int(v) for v in LZ.int_to_digits(R16_MOD_P)]
+
+# MSB-first bits of p - 2 for the Fermat ladder at the batch-inversion root
+_P_MINUS_2_BITS = np.array([int(b) for b in bin(P - 2)[2:]], np.bool_)
+
+
+def _mul(a, b):
+    """Lazy Montgomery multiply for the prepare pipeline: Pallas-resident on
+    TPU (XLA leaves the ~3.5K-primitive graph unfused and memory-bound,
+    scripts/tpu_lazymul_probe.py), plain XLA/eager elsewhere."""
+    if not _eager():
+        from ..ops import pallas_lazy as PLZ
+
+        return PLZ.mont_mul_elem(a, b)
+    return LZ.mont_mul(a, b)
+
+
+def _fp2_mul(a, b):
+    """Fp2 product from three Pallas Montgomery muls (Karatsuba): linear
+    combinations of full Montgomery products are exact, so this matches
+    LZ.fp2_mont_mul at one extra reduction in exchange for VMEM-resident
+    multiplies."""
+    sa = LZ.fold_sum(LZ.add(a[0], a[1]))
+    sb = LZ.fold_sum(LZ.add(b[0], b[1]))
+    m0 = _mul(a[0], b[0])
+    m1 = _mul(a[1], b[1])
+    m2 = _mul(sa, sb)
+    re = LZ.fold_sum(LZ.sub(m0, m1))
+    im = LZ.fold_sum(LZ.sub(m2, LZ.add(m0, m1)))
+    return (re, im)
 
 
 def _eager() -> bool:
@@ -120,7 +153,7 @@ def unpack15(words):
     for w in words:
         d.append((w & jnp.uint32(0xFFFF)).astype(jnp.int32) - jnp.int32(BIAS))
         d.append((w >> 16).astype(jnp.int32) - jnp.int32(BIAS))
-    return LZ.load31(d)
+    return LZ.load_elem(d)
 
 
 @dataclass(frozen=True)
@@ -139,8 +172,12 @@ class KernelCurve2:
         return 30 if self.name == "g2" else 15
 
     @property
-    def pt_rows(self) -> int:  # projective point (x, y, z)
+    def pt_rows(self) -> int:  # projective bucket point (x, y, z)
         return 3 * self.coord_rows
+
+    @property
+    def aff_rows(self) -> int:  # affine streamed point (x, y)
+        return 2 * self.coord_rows
 
     bk_rows = pt_rows
 
@@ -168,6 +205,15 @@ class KernelCurve2:
     def point_to_rows(self, pt):
         return [r for coord in pt for r in self._coord_to_rows(coord)]
 
+    def rows_to_affine(self, rows):
+        cr = self.coord_rows
+        return tuple(
+            self._coord_from_rows(rows[i * cr : (i + 1) * cr]) for i in range(2)
+        )
+
+    def affine_to_rows(self, pt):
+        return [r for coord in pt for r in self._coord_to_rows(coord)]
+
     # -- stacked lazy-point codec (single-array jit boundaries) --
 
     def stack_point(self, pt):
@@ -193,7 +239,7 @@ class KernelCurve2:
         return (comps[0], comps[1], comps[2])
 
     def identity_rows(self) -> np.ndarray:
-        """Host: packed rows of the identity (0 : one : 0)."""
+        """Host: packed rows of the projective identity (0 : one : 0)."""
         zero = np.full(15, BIAS | (BIAS << 16), np.uint32)
         oneb = int_to_digits_balanced(LZ.R13_MOD_P)
         onep = np.array(
@@ -212,7 +258,7 @@ class KernelCurve2:
 
 
 KC2_G1 = KernelCurve2("g1", 7)
-KC2_G2 = KernelCurve2("g2", 5)  # c=6 (12.2MB scratch) crashes the Mosaic compile
+KC2_G2 = KernelCurve2("g2", 6)  # split scratch parts dodge the Mosaic ceiling
 
 
 def _kernel_curve2(curve: CurveOps) -> KernelCurve2:
@@ -224,7 +270,17 @@ def _num_buckets(c: int) -> int:
 
 
 def _num_windows(c: int) -> int:
-    return (256 + c - 1) // c + 1  # + carry window (window_digits_signed)
+    return (256 + c - 1) // c  # no carry window (window_digits_signed)
+
+
+def _bucket_parts(kc: KernelCurve2, B: int):
+    """Split B buckets into VMEM scratch parts each under PART_BYTES."""
+    part_bytes = lambda n: n * kc.pt_rows * TILE * 4
+    n_parts = max(1, -(-part_bytes(B) // PART_BYTES))
+    base, rem = divmod(B, n_parts)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_parts)]
+    offs = [sum(sizes[:i]) for i in range(n_parts)]
+    return list(zip(offs, sizes))
 
 
 # --- the kernel ---------------------------------------------------------------
@@ -233,8 +289,10 @@ def _make_kernel2(kc: KernelCurve2, B: int, t_blocks: int):
     rows = kc.pt_rows
     ident = kc.identity_rows()
     f = kc.f
+    parts = _bucket_parts(kc, B)
 
-    def kernel(pts_ref, digs_ref, out_ref, buckets, dma_sem):
+    def kernel(pts_ref, digs_ref, out_ref, *scratch):
+        bucket_refs, dma_sem = scratch[:-1], scratch[-1]
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -242,53 +300,71 @@ def _make_kernel2(kc: KernelCurve2, B: int, t_blocks: int):
             mat = jnp.stack(
                 [jnp.full((SLOTS, LANES), np.uint32(v), jnp.uint32) for v in ident]
             )
-            buckets[:] = jnp.broadcast_to(mat[None], (B, rows, SLOTS, LANES))
+            for (off, bp), ref in zip(parts, bucket_refs):
+                ref[:] = jnp.broadcast_to(mat[None], (bp, rows, SLOTS, LANES))
 
         idx = digs_ref[0, 0]  # (8, 128) u32: mag | sign<<15
         sign = (idx >> SIGN_BIT) != 0
         idx = idx & jnp.uint32(MAG_MASK)
-        bio = lax.broadcasted_iota(jnp.uint32, (B, 1, SLOTS, LANES), 0)
-        mask = bio == idx[None, None]
 
-        bks = buckets[:]  # (B, rows, 8, 128) packed u32
-        # one-hot gather of the addressed bucket (packed words < 2^29: the
-        # int32 one-hot sum is exact — exactly one term is nonzero)
-        cur_rows_mat = jnp.sum(
-            jnp.where(mask, bks.astype(jnp.int32), jnp.int32(0)), axis=0
-        ).astype(jnp.uint32)
+        # one-hot gather of the addressed bucket across the scratch parts
+        # (packed words < 2^29: the int32 one-hot sum is exact — at most one
+        # term over all parts is nonzero)
+        cur_rows_mat = None
+        masks = []
+        for (off, bp), ref in zip(parts, bucket_refs):
+            bio = lax.broadcasted_iota(jnp.uint32, (bp, 1, SLOTS, LANES), 0)
+            mask = (bio + jnp.uint32(off)) == idx[None, None]
+            masks.append(mask)
+            part = jnp.sum(
+                jnp.where(mask, ref[:].astype(jnp.int32), jnp.int32(0)), axis=0
+            )
+            cur_rows_mat = part if cur_rows_mat is None else cur_rows_mat + part
+        cur_rows_mat = cur_rows_mat.astype(jnp.uint32)
         cur = kc.rows_to_point([cur_rows_mat[i] for i in range(rows)])
-        x2, y2, z2 = kc.rows_to_point([pts_ref[0, i] for i in range(rows)])
+
+        x2, y2 = kc.rows_to_affine(
+            [pts_ref[i, 0] for i in range(kc.aff_rows)]
+        )
         y2 = f.select(sign, f.neg(y2), y2)
-        new = LG.full_add(f, cur, (x2, y2, z2))
+        new = LG.mixed_add(f, cur, (x2, y2))
         new_mat = jnp.stack(kc.point_to_rows(new))  # (rows, 8, 128) u32
-        buckets[:] = jnp.where(mask, new_mat[None], bks)
+        for (off, bp), ref, mask in zip(parts, bucket_refs, masks):
+            ref[:] = jnp.where(mask, new_mat[None], ref[:])
 
         w = pl.program_id(0)  # hoisted: program_id inside pl.when breaks interpret
 
         @pl.when(t == t_blocks - 1)
         def _flush():
-            dma = pltpu.make_async_copy(buckets, out_ref.at[w], dma_sem)
-            dma.start()
-            dma.wait()
+            for (off, bp), ref in zip(parts, bucket_refs):
+                dma = pltpu.make_async_copy(
+                    ref, out_ref.at[w, pl.ds(off, bp)], dma_sem
+                )
+                dma.start()
+                dma.wait()
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("kc", "c"))
 def _accumulate2(pts_arr, digs_arr, *, kc: KernelCurve2, c: int):
-    """pts_arr (T, pt_rows, 8, 128) u32; digs_arr (W, T, 8, 128) u32 ->
+    """pts_arr (aff_rows, T, 8, 128) u32; digs_arr (W, T, 8, 128) u32 ->
     packed bucket dump (W, B, pt_rows, 8, 128) u32."""
     W, T = digs_arr.shape[0], digs_arr.shape[1]
     B = _num_buckets(c)
     rows = kc.pt_rows
     kernel = _make_kernel2(kc, B, T)
+    scratch = [
+        pltpu.VMEM((bp, rows, SLOTS, LANES), jnp.uint32)
+        for _, bp in _bucket_parts(kc, B)
+    ]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((W, B, rows, SLOTS, LANES), jnp.uint32),
         grid=(W, T),
         in_specs=[
             pl.BlockSpec(
-                (1, rows, SLOTS, LANES), lambda w, t: (t, 0, 0, 0),
+                (kc.aff_rows, 1, SLOTS, LANES), lambda w, t: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -297,12 +373,105 @@ def _accumulate2(pts_arr, digs_arr, *, kc: KernelCurve2, c: int):
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((B, rows, SLOTS, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA],
         interpret=INTERPRET,
     )(pts_arr, digs_arr)
+
+
+# --- batched field inversion (inside the prepare program) ---------------------
+
+
+
+def _fermat_inv(z):
+    """Elementwise z^(p-2) (Montgomery) via a scan over the 381 exponent
+    bits — used only at the root of the blocked batch inversion, on a
+    vector of <= ~2K elements, so its serial depth is irrelevant."""
+    bits = jnp.asarray(_P_MINUS_2_BITS[1:])
+
+    def body(r, bit):
+        r2 = _mul(r, r)
+        r3 = LZ.select(bit, _mul(r2, z), r2)
+        return r3, None
+
+    out, _ = lax.scan(body, [x for x in z], bits)
+    return out
+
+
+def _batch_inverse_host(z):
+    """Eager-mode twin of `_batch_inverse`: values are concrete off-TPU, so
+    invert exactly on host ints (the scans' XLA:CPU compiles take minutes —
+    the same reason the whole pipeline runs eagerly off-TPU). Montgomery
+    bookkeeping: rep = v*R13, so inv_rep = inv(v)*R13 = pow(rep_val, -1, p)
+    * R13^2."""
+    shape = z[0].shape
+    mat = np.stack(
+        [np.asarray(x).astype(np.int64).reshape(-1) for x in z], axis=-1
+    )
+    out = []
+    for row in mat:
+        val = LZ.digits_to_int(row) % P
+        w = pow(val, -1, P) * LZ.R13_SQ % P
+        out.append(int_to_digits_balanced(w))
+    omat = np.stack(out)  # (n, 30)
+    return [jnp.asarray(omat[:, k].reshape(shape)) for k in range(LZ.L13)]
+
+
+def _inverse_any(z, n: int):
+    if _eager():
+        return _batch_inverse_host(z)
+    return _batch_inverse(z, n)
+
+
+def _batch_inverse(z, n: int):
+    """Blocked Montgomery batch inversion of a lazy Fp vector (digit arrays
+    shaped (S, 128), S*128 = n elements — 2-D so the VPU's 8 sublanes stay
+    full; 1-D (N,) arrays lay out as (1, N) and run at 1/8 rate): ~3
+    Montgomery muls per element + a single Fermat ladder at the recursion
+    root. Caller must pre-substitute nonzero values for any zero entries.
+    Plays the role of blst's batch `normalize_batch` inversion
+    (/root/reference/src/g1.rs:537-543) at MSM-ingest scale."""
+    S = z[0].shape[0]
+    if S <= 16:  # <= 2048 elements: Fermat at the root
+        return _fermat_inv(z)
+    g = 64
+    assert S % g == 0, "batch rows must be divisible by the block factor"
+    m = S // g
+    rows = [x.reshape(g, m, 128) for x in z]
+    one = LG.FP_LAZY.one([rows[0][0]])
+
+    def up(carry, zg):
+        return _mul(carry, list(zg)), carry  # exclusive prefix
+
+    total, pre = lax.scan(
+        up, [jnp.broadcast_to(o, (m, 128)) for o in one], rows
+    )
+    inv_total = _batch_inverse(total, m * 128)
+
+    def down(T, xs):
+        zg, pre_g = xs
+        inv_g = _mul(T, list(pre_g))
+        T = _mul(T, list(zg))
+        return T, inv_g
+
+    _, invs = lax.scan(down, inv_total, (rows, pre), reverse=True)
+    return [x.reshape(S, 128) for x in invs]
+
+
+def _lazy_from_strict(arr):
+    """One strict (24, N) coord -> mul-ready lazy digits of v*R13."""
+    a16 = [arr[i] for i in range(FP.num_limbs)]
+    d = LZ.from_limbs16(a16)  # canonical digits of v*R16
+    return LZ.mont_mul_const(d, R16_TO_R13_DIGITS)  # v*R13, mul-ready
+
+
+def _spliced_f(arr):
+    """Strict (24, N) coord -> mul-ready digits of the RAW value v*R16 (no
+    domain conversion — one balanced fold turns the canonical splice into
+    mul-ready digits; value < 2^384 < 0.49*2^390, so the 30-digit clamp is
+    exact). Used where the R16 factors cancel (x/z, y/z below)."""
+    return LZ.fold(LZ.from_limbs16([arr[i] for i in range(FP.num_limbs)]))[
+        : LZ.ELEM
+    ]
 
 
 # --- prepare: strict projective points -> kernel layout (ONE jit) -------------
@@ -313,36 +482,62 @@ def _prepare_inputs(points, scalars, *, curve: CurveOps, c: int):
     form, coord leaves (24, N) u32 (Fp2 coords as pairs); scalars (16, N)
     plain FR limbs. N must be a multiple of TILE.
 
-    Returns (pts_arr (T, pt_rows, 8, 128) u32, digs_arr (W, T, 8, 128) u32).
+    Returns (pts_arr (aff_rows, T, 8, 128) u32, digs_arr (W, T, 8, 128) u32).
 
-    The domain conversion runs in the LAZY engine (one mont_mul_const per Fp
-    component, ~4.5K traced ops) — the strict engine's multiply would triple
-    the compile size for no benefit.
+    Affine conversion happens HERE (blocked batch inversion, ~3 muls/pt):
+    the kernel runs the cheaper mixed addition and streams 2 coords instead
+    of 3. Identity points (z = 0) have no affine form — their digits are
+    masked to the dropped bucket 0, which is also what makes them correct
+    (identity contributes nothing; blst mishandles exactly this,
+    /root/reference/src/g1.rs:682-689).
     """
     kc = _kernel_curve2(curve)
     n = scalars.shape[-1]
-
-    def coord_rows(coord):
-        def one_fp(arr):
-            a16 = [arr[i] for i in range(FP.num_limbs)]
-            d = LZ.from_limbs16(a16)  # canonical digits of v*R16
-            d13 = LZ.mont_mul_const(d, R16_TO_R13_DIGITS)  # v*R13, mul-ready
-            return pack30(LZ.store30(d13))
-
-        if kc.name == "g2":
-            return one_fp(coord[0]) + one_fp(coord[1])
-        return one_fp(coord)
-
-    rows = []
-    for coord in points:
-        rows.extend(coord_rows(coord))
-    mat = jnp.stack(rows)  # (pt_rows, N)
-    T = n // TILE
-    pts_arr = jnp.transpose(
-        mat.reshape(kc.pt_rows, T, SLOTS, LANES), (1, 0, 2, 3)
+    S = n // LANES  # all lazy math on (S, 128) 2-D shapes: 1-D (N,) arrays
+    # lay out as (1, N) on TPU and run at 1/8 of the VPU rate
+    x, y, z = jax.tree.map(
+        lambda a: a.reshape(a.shape[0], S, LANES), points
     )
-    digits = M.window_digits_signed(scalars, c)  # (W, N); identity points
-    # need no masking: adding the identity is absorbed by the complete add
+
+    # DOMAIN-CANCELLATION: work on the raw spliced values v*R16 — in the
+    # quotient x/z (and y/z) the R16 factors cancel, so the affine result
+    # mont_mul(x_raw, inv(z_raw)) lands directly in the lazy R13 domain
+    # with ZERO explicit conversion multiplies (3 muls saved per point).
+    if kc.name == "g2":
+        ident = FO.is_zero(z[0]) & FO.is_zero(z[1])
+        zl = (_spliced_f(z[0]), _spliced_f(z[1]))
+        # 1/(a0 + a1 u) = (a0 - a1 u) / (a0^2 + a1^2): one Fp batch inversion
+        n0 = _mul(zl[0], zl[0])
+        n1 = _mul(zl[1], zl[1])
+        norm = LZ.fold_sum(LZ.add(n0, n1))
+        one = LG.FP_LAZY.one(norm)
+        norm = LZ.select(ident, one, norm)
+        inv_norm = _inverse_any(norm, n)
+        inv_z = (
+            _mul(zl[0], inv_norm),
+            LZ.neg(_mul(zl[1], inv_norm)),
+        )
+        aff = []
+        for coord in (x, y):
+            cl = (_spliced_f(coord[0]), _spliced_f(coord[1]))
+            aff.append(_fp2_mul(cl, inv_z))
+        rows = [r for coord in aff for comp in coord for r in pack30(LZ.store30(comp))]
+    else:
+        ident = FO.is_zero(z)
+        zl = _spliced_f(z)
+        one = LG.FP_LAZY.one(zl)
+        zsafe = LZ.select(ident, one, zl)
+        inv_z = _inverse_any(zsafe, n)
+        aff = [_mul(_spliced_f(coord), inv_z) for coord in (x, y)]
+        rows = [r for comp in aff for r in pack30(LZ.store30(comp))]
+
+    mat = jnp.stack(rows)  # (aff_rows, S, 128)
+    T = n // TILE
+    pts_arr = mat.reshape(kc.aff_rows, T, SLOTS, LANES)
+    digits = M.window_digits_signed(
+        scalars.reshape(scalars.shape[0], S, LANES), c
+    )  # (W, S, 128)
+    digits = jnp.where(ident[None], jnp.uint32(0), digits)  # identity -> bucket 0
     W = digits.shape[0]
     digs_arr = digits.reshape(W, T, SLOTS, LANES)
     return pts_arr, digs_arr
@@ -352,9 +547,12 @@ def _prepare_inputs(points, scalars, *, curve: CurveOps, c: int):
 
 def _dump_to_points(dump, kc: KernelCurve2):
     """(W, B, rows, 8, 128) packed dump -> lazy bucket points with batch
-    (TILE, W, B) (digit arrays)."""
+    (TILE, W*B) (digit arrays). The W and B axes are FLATTENED so the
+    stream fold below runs on lane-full (., W*B) batches instead of a
+    (., W, B) layout whose 65-wide minor axis pads to 128 (round-3 reduce
+    spent ~49% of its VPU ops on that padding)."""
     W, B, rows = dump.shape[0], dump.shape[1], dump.shape[2]
-    mat = jnp.transpose(dump, (2, 3, 4, 0, 1)).reshape(rows, TILE, W, B)
+    mat = jnp.transpose(dump, (2, 3, 4, 0, 1)).reshape(rows, TILE, W * B)
     return kc.rows_to_point([mat[i] for i in range(rows)])
 
 
@@ -381,7 +579,7 @@ def _fold_streams_traced(pt, kc: KernelCurve2, scan_chunk: int = 64):
     ~(1 + log2(TILE/scan_chunk)) add bodies while the scan's sequential
     steps stay wide enough to be compute-bound)."""
     group = TILE // scan_chunk
-    # (TILE, W, B) -> (scan_chunk, group, W, B)
+    # (TILE, WB) -> (scan_chunk, group, WB)
     pt = _tree_map_pt(
         lambda x: x.reshape((scan_chunk, group) + x.shape[1:]), pt
     )
@@ -442,11 +640,13 @@ def _bucket_suffix_scan(pt, kc: KernelCurve2):
     return total
 
 
-@functools.partial(jax.jit, static_argnames=("kc",))
-def _reduce_dump(dump, *, kc: KernelCurve2):
+@functools.partial(jax.jit, static_argnames=("kc", "B"))
+def _reduce_dump(dump, *, kc: KernelCurve2, B: int):
     """dump (W, B, rows, 8, 128) -> stacked lazy window sums (n_fp*ELEM, W)."""
+    W = dump.shape[0]
     pt = _dump_to_points(dump, kc)
-    folded = _fold_streams_traced(pt, kc)  # batch (W, B)
+    folded = _fold_streams_traced(pt, kc)  # batch (W*B,)
+    folded = _tree_map_pt(lambda x: x.reshape(W, B), folded)
     ws = _bucket_suffix_scan(folded, kc)  # batch (W,)
     return kc.stack_point(ws)
 
@@ -539,23 +739,28 @@ def _window_sums2(points, scalars, curve: CurveOps, c: int,
     if max_windows is not None:
         digs_arr = digs_arr[:max_windows]
     dump = _call(_accumulate2, pts_arr, digs_arr, kc=kc, c=c)
+    B = dump.shape[1]
     if _eager():
+        W = dump.shape[0]
         pt = _dump_to_points(dump, kc)
         folded = _fold_streams_eager(pt, kc, TILE)
-        ws = _bucket_suffix_seq(folded, kc, dump.shape[1])
+        folded = _tree_map_pt(lambda x: x.reshape(W, B), folded)
+        ws = _bucket_suffix_seq(folded, kc, B)
         return kc.stack_point(ws)
-    return _reduce_dump(dump, kc=kc)
+    return _reduce_dump(dump, kc=kc, B=B)
 
 
 def plan_chunk2(kc: KernelCurve2, c: int, hbm_budget_bytes: int = 8 << 30) -> int:
     """Largest power-of-two chunk (multiple of TILE) fitting the HBM budget.
-    Footprint: input leaves + packed copy + digits + dump + its transpose.
+    Footprint: input leaves + packed affine copy + inversion intermediates +
+    digits + dump + its transpose.
     Analog of the reference's calc_chunk_size (/root/reference/src/gpu.rs:64-85)."""
     W = _num_windows(c)
     B = _num_buckets(c)
     fixed = 2 * W * B * kc.pt_rows * TILE * 4
     coords16 = kc.n_fp * 24  # strict projective input rows
-    per_point = (coords16 + 2 * kc.pt_rows + W + 2) * 4
+    elem_words = LZ.ELEM * (2 if kc.name == "g2" else 1)
+    per_point = (coords16 + kc.aff_rows + 4 * elem_words + W + 2) * 4
     budget = hbm_budget_bytes - fixed
     assert budget > per_point * TILE, "HBM budget below one tile"
     chunk = TILE
@@ -582,10 +787,10 @@ def msm_pallas2(points, scalars, curve: CurveOps = G1, c: int | None = None,
         c = kc.c_default
     if c < 2:
         raise ValueError(f"MSM window c must be >= 2, got {c}")
-    # clear failure for oversized windows instead of an opaque Mosaic error
-    # (empirical ceiling: G1 c=7 scratch = 11.98 MB compiles; G2 c=6 =
-    # 12.16 MB crashes the Mosaic compile)
-    assert _num_buckets(c) * kc.pt_rows * TILE * 4 <= 12_000_000, (
+    # clear failure for oversized windows instead of an opaque Mosaic error:
+    # each scratch part stays under PART_BYTES; the empirical total-VMEM
+    # ceiling still binds around ~13MB of bucket scratch
+    assert _num_buckets(c) * kc.pt_rows * TILE * 4 <= 13_000_000, (
         f"c={c} bucket scratch exceeds the VMEM budget for {kc.name}"
     )
     n = scalars.shape[-1]
@@ -617,11 +822,10 @@ def msm_sharded2(points, scalars, mesh, curve: CurveOps = G1,
 
     Points are sharded over `mesh` axis `axis`; each device runs the VMEM
     bucket kernel + lazy fold + bucket suffix on its shard, producing
-    stacked lazy window sums; the per-device sums are gathered (tiny: one
-    (n_fp*ELEM, W) array each) and tree-folded, then Horner'd. This is the
-    multi-device execution the reference left as a TODO
-    (/root/reference/src/gpu.rs:233-240), applied to the fast path (round 2
-    sharded only the slow scan pipeline).
+    stacked lazy window sums; the per-device sums are combined by a jitted
+    log-depth tree fold (tiny: one (n_fp*ELEM, W) array each), then
+    Horner'd. This is the multi-device execution the reference left as a
+    TODO (/root/reference/src/gpu.rs:233-240), applied to the fast path.
     """
     from jax.sharding import PartitionSpec as Pspec
 
@@ -635,11 +839,14 @@ def msm_sharded2(points, scalars, mesh, curve: CurveOps = G1,
     )
     if max_windows is not None:
         digs_arr = digs_arr[:max_windows]
+    B = _num_buckets(c)
 
     def local(pa, da):
         dump = _accumulate2.__wrapped__(pa, da, kc=kc, c=c)
+        W = dump.shape[0]
         pt = _dump_to_points(dump, kc)
         folded = _fold_streams_traced(pt, kc)
+        folded = _tree_map_pt(lambda x: x.reshape(W, B), folded)
         ws = _bucket_suffix_scan(folded, kc)
         return kc.stack_point(ws)[None]  # add device axis
 
@@ -652,14 +859,43 @@ def msm_sharded2(points, scalars, mesh, curve: CurveOps = G1,
         return jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(Pspec(axis), Pspec(None, axis)),
+            in_specs=(Pspec(None, axis), Pspec(None, axis)),
             out_specs=Pspec(axis),
             check_vma=False,
         )(pa, da)
 
     ws = run(pts_arr, digs_arr)  # (ndev, n_fp*ELEM, W)
-    total = ws[0]
-    for d in range(1, ndev):
-        total = _call(_add_wsums2, total, ws[d], kc=kc)
+    total = _fold_device_wsums(ws, kc)
     out = _finish_any(total, kc, c)
     return _unstack_strict(out, kc)
+
+
+@functools.partial(jax.jit, static_argnames=("kc",))
+def _fold_device_wsums_jit(ws, *, kc: KernelCurve2):
+    """Jitted log-depth fold of per-device stacked window sums: ONE dispatch
+    regardless of device count (the round-3 host loop paid ~10 ms/dispatch
+    per device — PERF.md §1)."""
+    d = ws.shape[0]
+    while d > 1:
+        half = d // 2
+        lo, hi = ws[:half], ws[half : 2 * half]
+        folded = LG.full_add(
+            kc.f,
+            kc.unstack_point(jnp.moveaxis(lo, 0, -1)),
+            kc.unstack_point(jnp.moveaxis(hi, 0, -1)),
+        )
+        rest = ws[2 * half :]
+        ws = jnp.concatenate(
+            [jnp.moveaxis(kc.stack_point(folded), -1, 0), rest], axis=0
+        )
+        d = half + rest.shape[0]
+    return ws[0]
+
+
+def _fold_device_wsums(ws, kc: KernelCurve2):
+    if _eager():
+        total = ws[0]
+        for i in range(1, ws.shape[0]):
+            total = _add_wsums2.__wrapped__(total, ws[i], kc=kc)
+        return total
+    return _fold_device_wsums_jit(ws, kc=kc)

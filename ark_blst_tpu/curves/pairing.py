@@ -9,9 +9,17 @@ final exponentiation (src/pairing.rs:76-80) with a cyclotomic hard part
 
 Where the reference calls into blst C/assembly (`miller_loop_lines` at
 src/pairing.rs:62, `blst_fp12_mul` at :68), we express the whole pipeline as
-batched tower array programs (ops/tower.py) over stacked-limb Montgomery
-arrays: many pairings evaluated at once, every base-field multiply batched
-into fused kernel launches.
+batched tower array programs over Montgomery arrays: many pairings evaluated
+at once, every base-field multiply batched into fused launches.
+
+TWO interchangeable tower engines (round 4):
+* engine="lazy"   — ops/tower_lazy.py on the signed radix-13 lazy engine
+  (hybrid Karatsuba, ~6-8x fewer eops/mul). The TPU default: inputs are
+  ingested strict->lazy once, the whole pipeline runs lazily, outputs are
+  canonicalized back to the strict representation at the end.
+* engine="strict" — ops/tower.py on the radix-16 strict engine; the
+  differential twin and the off-TPU default (its ops are few large cached
+  programs, which is what eager CPU execution wants).
 
 Two execution styles, like curves/msm.py:
 * fuse=True  — `lax.scan` over the static 68-event Miller schedule and the
@@ -32,10 +40,8 @@ from jax import lax
 
 from ..oracle import field as OF
 from ..oracle import pairing as OP
-from ..ops import dispatch as D
-from ..ops import fieldops as FO
-from ..ops import tower as T
-from ..ops.limbs import FP
+from ..ops import tower as TS
+from ..ops import tower_lazy as TL
 
 # Miller-loop event schedule: one entry per consumed line triple.
 # is_dbl=True -> (square f, then ell); False -> (ell only).
@@ -56,9 +62,44 @@ def _auto_fuse(fuse):
     return jax.default_backend() == "tpu" if fuse is None else fuse
 
 
+def _tower(engine):
+    """Resolve the tower engine module. None = auto: lazy on TPU (fastest
+    under jit), strict off-TPU (fastest eagerly)."""
+    if engine is None:
+        engine = "lazy" if jax.default_backend() == "tpu" else "strict"
+    return TL if engine == "lazy" else TS
+
+
+def _fp2_one_zero_like(T, qx):
+    """fp2 value (1, 0) DERIVED from input data (x*0 + const), so it stays
+    device-varying under shard_map and scan carries type-check without
+    check_vma escape hatches (the round-1 lesson)."""
+    if T is TL:
+        z = qx[0][0] * 0
+        one = [z + jnp.int32(v) if v else z for v in TL._const_digits(1)]
+        return (one, [z] * len(qx[0]))
+    sh = qx[0].shape[1:]
+    zero = qx[0] * 0
+    return (zero + T.fp_const(1, sh), zero)
+
+
+def _fp12_one_like(T, px, sh):
+    """fp12 one with every leaf derived from the input batch (x*0 + const):
+    vma-correct as a scan carry inside shard_map (cf. _fp2_one_zero_like)."""
+    if T is TL:
+        z = px[0] * 0
+        one = [z + jnp.int32(v) if v else z for v in TL._const_digits(1)]
+        zero = [z] * len(px)
+    else:
+        zero = px * 0
+        one = zero + T.fp_const(1, sh)
+    z2 = (zero, zero)
+    return (((one, zero), z2, z2), (z2, z2, z2))
+
+
 # --- G2 line-coefficient precomputation (G2Prepared) --------------------------
 
-def _doubling_step(r):
+def _doubling_step(T, r):
     """Batched twin of oracle _doubling_step (Jacobian over Fp2); returns
     (new_r, (c0, c1, c2)) line coefficients."""
     x, y, z = r
@@ -82,7 +123,7 @@ def _doubling_step(r):
     return (nx, ny, nz), (c0, c1, c2)
 
 
-def _addition_step(r, q):
+def _addition_step(T, r, q):
     """Batched twin of oracle _addition_step (mixed add, line coefficients)."""
     x, y, z = r
     qx, qy = q
@@ -108,29 +149,36 @@ def _addition_step(r, q):
     return (nx, ny, nz), (c0, c1, t9)
 
 
-def prepare_g2(q, fuse=None):
-    """Affine G2 batch (qx, qy) [fp2 leaves (L, *batch)] -> stacked line
-    coefficients, leaves (NUM_EVENTS, L, *batch). The `G2Prepared` analog
-    (/root/reference/src/g2.rs:650-694). Identity inputs produce garbage
-    (finite) coefficients — the Miller loop masks those pairs to one, the
-    reference's substitution semantics (src/pairing.rs:58-60)."""
+def prepare_g2(q, fuse=None, engine=None, events=None):
+    """Affine G2 batch (qx, qy) [STRICT fp2 leaves (L, *batch)] -> stacked
+    line coefficients in the chosen ENGINE's representation, leading axis
+    NUM_EVENTS. The `G2Prepared` analog (/root/reference/src/g2.rs:650-694).
+    Identity inputs produce garbage (finite) coefficients — the Miller loop
+    masks those pairs to one, the reference's substitution semantics
+    (src/pairing.rs:58-60)."""
     fuse = _auto_fuse(fuse)
+    T = _tower(engine)
+    ev = MILLER_EVENTS if events is None else MILLER_EVENTS[:events]
     qx, qy = q
     sh = qx[0].shape[1:]
-    r = (qx, qy, (T.fp_const(1, sh), FO.zeros(sh, FP)))
+    if T is TL:
+        qx, qy = TL.fp2_ingest(qx), TL.fp2_ingest(qy)
+    r = (qx, qy, _fp2_one_zero_like(T, qx))
 
     if not fuse:
         coeffs = []
-        for is_dbl in MILLER_EVENTS:
-            r, c = _doubling_step(r) if is_dbl else _addition_step(r, q)
+        for is_dbl in ev:
+            r, c = (
+                _doubling_step(T, r) if is_dbl else _addition_step(T, r, (qx, qy))
+            )
             coeffs.append(c)
         return jax.tree.map(lambda *xs: jnp.stack(xs), *coeffs)
 
-    flags = jnp.asarray(np.array(MILLER_EVENTS, dtype=np.bool_))
+    flags = jnp.asarray(np.array(ev, dtype=np.bool_))
 
     def body(r, is_dbl):
-        rd, cd = _doubling_step(r)
-        ra, ca = _addition_step(r, q)
+        rd, cd = _doubling_step(T, r)
+        ra, ca = _addition_step(T, r, (qx, qy))
         r = T.select(is_dbl, rd, ra)
         c = T.select(is_dbl, cd, ca)
         return r, c
@@ -141,40 +189,45 @@ def prepare_g2(q, fuse=None):
 
 # --- Miller loop ---------------------------------------------------------------
 
-def _ell_legs(coeff, px, py):
+def _ell_legs(T, coeff, px, py):
     """Scale a line triple into mul_by_014 operand form: (c4=c0*py, c1=c1*px,
     c0=c2). The fp2-by-fp scaling is 2 base muls per component."""
     c0, c1, c2 = coeff
-    s0a, s0b, s1a, s1b = D.fp_mul_many(
+    s0a, s0b, s1a, s1b = T.fp_mul_many(
         [(c0[0], py), (c0[1], py), (c1[0], px), (c1[1], px)]
     )
     return c2, (s1a, s1b), (s0a, s0b)
 
 
-def miller_loop(p, coeffs, fuse=None):
-    """Batched Miller loop: p = (px, py) affine G1 batch, coeffs from
-    prepare_g2. Returns an fp12 batch (conjugated: x < 0). Twin of
-    blstrs `miller_loop_lines` (/root/reference/src/pairing.rs:62)."""
+def miller_loop(p, coeffs, fuse=None, engine=None, ingest=True, events=None):
+    """Batched Miller loop: p = (px, py) STRICT affine G1 batch, coeffs from
+    prepare_g2 (same engine). Returns an ENGINE fp12 batch (conjugated:
+    x < 0). Twin of blstrs `miller_loop_lines`
+    (/root/reference/src/pairing.rs:62)."""
     fuse = _auto_fuse(fuse)
+    T = _tower(engine)
     px, py = p
     sh = px.shape[1:]
-    f = T.fp12_one(sh)
+    if T is TL and ingest:
+        px, py = TL.fp_ingest(px), TL.fp_ingest(py)
+    f = _fp12_one_like(T, px, sh)
+    ev = MILLER_EVENTS if events is None else MILLER_EVENTS[:events]
 
     if not fuse:
-        for i, is_dbl in enumerate(MILLER_EVENTS):
+        for i, is_dbl in enumerate(ev):
             c = jax.tree.map(lambda x: x[i], coeffs)
             if is_dbl:
                 f = T.fp12_sqr(f)
-            a0, a1, a4 = _ell_legs(c, px, py)
+            a0, a1, a4 = _ell_legs(T, c, px, py)
             f = T.fp12_mul_by_014_many([(f, a0, a1, a4)])[0]
         return T.fp12_conj(f)
 
-    flags = jnp.asarray(np.array(MILLER_EVENTS, dtype=np.bool_))
+    flags = jnp.asarray(np.array(ev, dtype=np.bool_))
 
     def body(f, xs):
         is_dbl, c = xs
         f = T.select(is_dbl, T.fp12_sqr(f), f)
-        a0, a1, a4 = _ell_legs(c, px, py)
+        a0, a1, a4 = _ell_legs(T, c, px, py)
         f = T.fp12_mul_by_014_many([(f, a0, a1, a4)])[0]
         return f, None
 
@@ -184,10 +237,11 @@ def miller_loop(p, coeffs, fuse=None):
 
 # --- final exponentiation -------------------------------------------------------
 
-def cyclotomic_exp_x_conj(f, fuse=None):
+def cyclotomic_exp_x_conj(f, fuse=None, engine=None):
     """f^(-x) = conj(f^|x|) in the cyclotomic subgroup (x < 0 for BLS12-381);
     square-and-multiply over the static 64-bit |x| ladder."""
     fuse = _auto_fuse(fuse)
+    T = _tower(engine)
 
     if not fuse:
         r = f
@@ -208,15 +262,17 @@ def cyclotomic_exp_x_conj(f, fuse=None):
     return T.fp12_conj(r)
 
 
-def final_exp(f, fuse=None):
+def final_exp(f, fuse=None, engine=None):
     """Easy part then the standard BLS12-381 cyclotomic addition chain —
     batched twin of oracle final_exp; role of blstrs final_exponentiation
-    (/root/reference/src/pairing.rs:76-80)."""
+    (/root/reference/src/pairing.rs:76-80). Input and output are ENGINE
+    fp12 values."""
     fuse = _auto_fuse(fuse)
-    ex = lambda g: cyclotomic_exp_x_conj(g, fuse)
+    T = _tower(engine)
+    ex = lambda g: cyclotomic_exp_x_conj(g, fuse, engine)
     # easy part: f^((p^6-1)(p^2+1))
     t0 = T.fp12_conj(f)
-    t1 = T.fp12_inv(f)
+    t1 = T.fp12_inv(f, fuse) if T is TL else T.fp12_inv(f)
     t2 = T.fp12_mul(t0, t1)
     t1 = t2
     t2 = T.fp12_mul(T.fp12_frobenius(t2, 2), t1)
@@ -246,7 +302,7 @@ def final_exp(f, fuse=None):
 
 # --- public pairing surface -----------------------------------------------------
 
-def _fold_mul(f, n):
+def _fold_mul(T, f, n):
     """Tree-reduce an fp12 batch (product over the batch axis)."""
     size = 1 << max(0, (n - 1)).bit_length()
     if size != n:
@@ -261,17 +317,24 @@ def _fold_mul(f, n):
     return f  # batch (1,)
 
 
-def multi_miller_loop(p, q, p_inf=None, q_inf=None, fuse=None):
+def _egress(T, f):
+    """ENGINE fp12 -> strict stacked representation (no-op for strict)."""
+    return TL.fp12_egress(f) if T is TL else f
+
+
+def multi_miller_loop(p, q, p_inf=None, q_inf=None, fuse=None, engine=None):
     """Product of Miller loops over a batch of (G1 affine, G2 affine) pairs,
     with the reference's identity-pair substitution (pairs containing an
     identity contribute one, /root/reference/src/pairing.rs:49-74).
 
-    p = (px, py) fp leaves (L, N); q = (qx, qy) fp2; *_inf optional boolean
-    masks (N,). Returns an fp12 batch of shape (1,)."""
+    p = (px, py) STRICT fp leaves (L, N); q = (qx, qy) strict fp2; *_inf
+    optional boolean masks (N,). Returns a STRICT fp12 batch of shape (1,)
+    (un-final-exponentiated)."""
+    T = _tower(engine)
     px, py = p
     n = px.shape[-1]
-    coeffs = prepare_g2(q, fuse)
-    f = miller_loop(p, coeffs, fuse)
+    coeffs = prepare_g2(q, fuse, engine)
+    f = miller_loop(p, coeffs, fuse, engine)
     skip = None
     if p_inf is not None:
         skip = p_inf
@@ -279,14 +342,32 @@ def multi_miller_loop(p, q, p_inf=None, q_inf=None, fuse=None):
         skip = q_inf if skip is None else (skip | q_inf)
     if skip is not None:
         f = T.select(skip, T.fp12_one((n,)), f)
-    return _fold_mul(f, n)
+    return _egress(T, _fold_mul(T, f, n))
 
 
-def pairing(p, q, p_inf=None, q_inf=None, fuse=None):
+def _to2d(arr):
+    """(L, N) -> (L, N//128, 128): 1-D (N,) batch shapes lay out as (1, N)
+    tiles on TPU and waste 7/8 of every VPU op's sublanes."""
+    return arr.reshape(arr.shape[0], arr.shape[1] // 128, 128)
+
+
+def pairing(p, q, p_inf=None, q_inf=None, fuse=None, engine=None):
     """Batched full pairing e(P_i, Q_i) elementwise (no product reduction):
-    returns an fp12 batch shaped like the inputs. Identity inputs yield one."""
-    coeffs = prepare_g2(q, fuse)
-    f = miller_loop(p, coeffs, fuse)
+    returns a STRICT fp12 batch shaped like the inputs. Identity inputs
+    yield one. Batches divisible by 128 are reshaped to (N/128, 128)
+    internally for full sublane utilization."""
+    T = _tower(engine)
+    n = p[0].shape[-1]
+    flat = p[0].ndim == 2 and n % 128 == 0 and n >= 128
+    if flat:
+        p = (_to2d(p[0]), _to2d(p[1]))
+        q = ((_to2d(q[0][0]), _to2d(q[0][1])), (_to2d(q[1][0]), _to2d(q[1][1])))
+        if p_inf is not None:
+            p_inf = p_inf.reshape(n // 128, 128)
+        if q_inf is not None:
+            q_inf = q_inf.reshape(n // 128, 128)
+    coeffs = prepare_g2(q, fuse, engine)
+    f = miller_loop(p, coeffs, fuse, engine)
     skip = None
     if p_inf is not None:
         skip = p_inf
@@ -294,4 +375,145 @@ def pairing(p, q, p_inf=None, q_inf=None, fuse=None):
         skip = q_inf if skip is None else (skip | q_inf)
     if skip is not None:
         f = T.select(skip, T.fp12_one(p[0].shape[1:]), f)
-    return final_exp(f, fuse)
+    out = _egress(T, final_exp(f, fuse, engine))
+    if flat:
+        out = jax.tree.map(lambda x: x.reshape(x.shape[0], n), out)
+    return out
+
+
+# --- device G2Prepared reuse ----------------------------------------------------
+
+class DeviceG2Prepared:
+    """Precomputed Miller-loop line coefficients living on device as ONE
+    stacked array — the device analog of `G2Prepared`
+    (/root/reference/src/g2.rs:650-694), whose whole point is amortizing the
+    precomputation across pairings. `stacked` crosses jit boundaries as a
+    single array (the platform charges per-array dispatch overhead), and
+    `q_inf` records identity inputs for the substitution semantics."""
+
+    __slots__ = ("engine", "stacked", "q_inf", "n")
+
+    def __init__(self, engine: str, stacked, q_inf, n: int):
+        self.engine = engine
+        self.stacked = stacked
+        self.q_inf = q_inf
+        self.n = n
+
+
+def stack_coeffs(coeffs):
+    """Engine coeffs pytree -> single stacked array (leaves axis 0)."""
+    return jnp.stack(jax.tree.leaves(coeffs))
+
+
+def unstack_coeffs(arr, engine=None):
+    """Inverse of stack_coeffs for the given engine."""
+    T = _tower(engine)
+    if T is TL:
+        template = tuple(
+            ([0] * 30, [0] * 30) for _ in range(3)
+        )
+    else:
+        template = tuple((0, 0) for _ in range(3))
+    treedef = jax.tree.structure(template)
+    leaves = [arr[i] for i in range(arr.shape[0])]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def prepare_g2_device(q, q_inf=None, fuse=None, engine=None):
+    """Public precomputation entry: strict affine G2 batch -> DeviceG2Prepared
+    (prepare once, pair many — the reuse the round-3 device path rejected)."""
+    if engine is None:
+        engine = "lazy" if jax.default_backend() == "tpu" else "strict"
+    coeffs = prepare_g2(q, fuse, engine)
+    n = q[0][0].shape[-1]
+    return DeviceG2Prepared(engine, stack_coeffs(coeffs), q_inf, n)
+
+
+def pairing_prepared(p, prepared: DeviceG2Prepared, p_inf=None, fuse=None):
+    """Batched elementwise pairing against precomputed line coefficients:
+    skips the ~40% of the Miller-loop work that prepare_g2 performs."""
+    T = _tower(prepared.engine)
+    coeffs = unstack_coeffs(prepared.stacked, prepared.engine)
+    f = miller_loop(p, coeffs, fuse, prepared.engine)
+    skip = None
+    if p_inf is not None:
+        skip = p_inf
+    if prepared.q_inf is not None:
+        skip = prepared.q_inf if skip is None else (skip | prepared.q_inf)
+    if skip is not None:
+        f = T.select(skip, T.fp12_one(p[0].shape[1:]), f)
+    return _egress(T, final_exp(f, fuse, prepared.engine))
+
+
+def multi_miller_loop_prepared(p, prepared: DeviceG2Prepared, p_inf=None,
+                               fuse=None):
+    """multi_miller_loop against precomputed coefficients (product form)."""
+    T = _tower(prepared.engine)
+    n = p[0].shape[-1]
+    coeffs = unstack_coeffs(prepared.stacked, prepared.engine)
+    f = miller_loop(p, coeffs, fuse, prepared.engine)
+    skip = None
+    if p_inf is not None:
+        skip = p_inf
+    if prepared.q_inf is not None:
+        skip = prepared.q_inf if skip is None else (skip | prepared.q_inf)
+    if skip is not None:
+        f = T.select(skip, T.fp12_one((n,)), f)
+    return _egress(T, _fold_mul(T, f, n))
+
+
+# --- sharded multi-pairing ------------------------------------------------------
+
+def multi_pairing_sharded(p, q, mesh, p_inf=None, q_inf=None, axis: str = "data",
+                          engine=None, final=True, events=None, fuse=True):
+    """prod_i e(P_i, Q_i) with the pairing batch SHARDED over a device mesh:
+    each device runs prepare_g2 + Miller + its partial fp12 product inside
+    shard_map, the per-device partials are gathered (one fp12 each) and the
+    product + single final exponentiation finish on replicated data. This is
+    the multi-pairing product reduction SURVEY.md §2d names as a collective
+    use case (the reference is single-device everywhere,
+    /root/reference/src/gpu.rs:233-234).
+
+    Inputs: strict (px, py), (qx, qy) with batch N divisible by the mesh
+    axis size (pad with identity pairs + masks otherwise). Returns a STRICT
+    fp12 batch of shape (1,)."""
+    from jax.sharding import PartitionSpec as Pspec
+
+    T = _tower(engine)
+    eng = "lazy" if T is TL else "strict"
+    px, py = p
+    n = px.shape[-1]
+    ndev = mesh.shape[axis]
+    assert n % ndev == 0, "pad the pairing batch to a multiple of the mesh"
+    if p_inf is None:
+        p_inf = jnp.zeros((n,), jnp.bool_)
+    if q_inf is None:
+        q_inf = jnp.zeros((n,), jnp.bool_)
+    skip = p_inf | q_inf
+
+    def local(px_, py_, qx0, qx1, qy0, qy1, skip_):
+        coeffs = prepare_g2(((qx0, qx1), (qy0, qy1)), fuse, eng, events)
+        f = miller_loop((px_, py_), coeffs, fuse, eng, events=events)
+        m = n // ndev
+        one = _fp12_one_like(
+            T, (px_ if T is not TL else TL.fp_ingest(px_)), (m,)
+        )
+        f = T.select(skip_, one, f)
+        part = _fold_mul(T, f, m)
+        return jax.tree.map(lambda x: x[None], part)  # add device axis
+
+    spec_fp = Pspec(None, axis)
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_fp, spec_fp, spec_fp, spec_fp, spec_fp, spec_fp,
+                  Pspec(axis)),
+        out_specs=Pspec(axis),
+    )(px, py, q[0][0], q[0][1], q[1][0], q[1][1], skip)
+
+    # fold the ndev per-device partials (tiny) and final-exponentiate once
+    f = jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1)[..., 0, :], out)
+    f = _fold_mul(T, f, ndev)
+    if final:
+        f = final_exp(f, fuse, eng)
+    return _egress(T, f)

@@ -11,11 +11,13 @@ inside a computation:
   digit-wise ops — no borrow handling, no p-complement constants (the strict
   engine pays a full add+normalize chain per subtract).
 * **Lazy carries**: a multiply accumulates raw 26-bit digit products in int32
-  columns (<= 31 terms x 2^26.02 < 2^31, exact); carries are released by
+  columns (<= 30 terms x 2^26.02 < 2^31, exact); carries are released by
   cheap O(L) *fold* passes (3 ops/digit) only when the next multiply needs
   its operands "mul-ready". Radix 13 is the signed optimum of
   `2d + log2(L) <= 31`: radix 14 overflows int32 columns, radix 12 costs 13%
-  more products.
+  more products. Mul-ready x mul-ready products run a hybrid two-level
+  Karatsuba (`mul_wide_f`, -28% eops; the middle products stay schoolbook
+  because their operand bound doubles).
 * **Redundant values**: elements live in (-3p, 3p) after a Montgomery multiply
   (u = t/R + m'p/R: the map contracts for |inputs| < R/2) and are
   canonicalized exactly once, at the very end of a pipeline.
@@ -34,25 +36,25 @@ REPRESENTATION CONTRACT (BALANCED digits)
   bearing choice: the digit-string magnitude of an L-digit balanced value is
   at most 4129 * (2^(13L)-1)/8191 < 0.504 * 2^(13L), so a digit string can
   never encode a borrow chain that nets a full +-2^(13L) unit. Consequences:
-    * truncating a folded value to 31 (or, for |value| <= 20p, to 30) digits
-      is PROVABLY exact (the dropped net is a multiple of the cut weight and
-      strictly smaller in magnitude), and
+    * truncating a folded value to 30 digits is PROVABLY exact whenever
+      |value| < 0.49 * 2^390 ~ 250p (the dropped net is a multiple of the
+      cut weight and strictly smaller in magnitude), and
     * the low 30 digits of the Montgomery u = t + m*p, being divisible by
       R13 and bounded by 0.504*R13, are exactly ZERO-valued — no carry into
       the high part at all (the unbalanced design needs a delta-detection
       pass here and is wrong at the margin).
-  element      : 31 signed int32 digits; mul-ready = |d| <= F = 4129.
-  sum-of-2     : |d| <= 2F = 8258 — still directly multipliable.
+  element      : 30 signed int32 digits (= ELEM); mul-ready = |d| <= F = 4129.
+  sum-of-2     : |d| <= 2F = 8258 — still directly multipliable (schoolbook).
   canonical    : digits in [0, 2^13) (e.g. loaded constants) — also
-                 multipliable (31*8191*8191 = 2.08e9 < 2^31).
+                 multipliable schoolbook (30*8191*8191 = 2.01e9 < 2^31).
   sum-of-k>=3  : must pass `fold_sum` before multiplying.
   column/wide  : |d| < 2^31 (raw int32 product-column accumulation).
-  stored form  : 30 digits via store30 (sound for |value| <= 20p).
+  stored form  : 30 digits via store30 (sound for |value| <= 250p).
 
-Multiply legality: operands with digit bounds (A, B) need 31*A*B < 2^31:
-  31*F*F      = 5.3e8    mul-ready x mul-ready
-  31*2F*2F    = 2.114e9  sum2 x sum2 (1.5% margin)
-  31*8191^2   = 2.08e9   canonical x canonical
+Multiply legality (schoolbook): digit bounds (A, B) need 30*A*B < 2^31:
+  30*F*F      = 5.1e8    mul-ready x mul-ready (also Karatsuba-legal)
+  30*2F*2F    = 2.05e9   sum2 x sum2 (4.6% margin; schoolbook ONLY)
+  30*8191^2   = 2.01e9   canonical x canonical (schoolbook ONLY)
 """
 
 from __future__ import annotations
@@ -65,7 +67,12 @@ from ..oracle.field import P
 RADIX = 13
 DMASK = (1 << RADIX) - 1  # 8191
 L13 = 30  # digits spanning R13
-ELEM = 31  # in-flight element length (signed top carry digit)
+# In-flight element length. 30 suffices: an element value is < 3p <
+# 0.49 * 2^390, and a balanced digit string of a FOLDED value may be
+# truncated at n digits exactly whenever |value| < 0.49 * 2^(13n) (module
+# docstring) — so the would-be 31st digit is provably zero. (Round 3 kept a
+# 31st carry digit; dropping it shaves ~6% off every product and fold.)
+ELEM = 30
 R13 = 1 << (RADIX * L13)
 L16 = 24  # strict engine limb count (16-bit limbs)
 
@@ -75,7 +82,7 @@ R13_SQ = R13_MOD_P * R13_MOD_P % P
 
 HALF = 4096
 F_BOUND = 4129  # balanced fold2 digit bound: [-4096-33, 4095+33]
-assert 31 * (2 * F_BOUND) * (2 * F_BOUND) < 2**31  # sum2 x sum2 legal
+assert 30 * (2 * F_BOUND) * (2 * F_BOUND) < 2**31  # sum2 x sum2 legal
 
 
 def int_to_digits(x: int, n: int = L13) -> np.ndarray:
@@ -178,13 +185,15 @@ def select(mask, a, b):
 # --- products ----------------------------------------------------------------
 
 def mul_wide(a, b):
-    """Full product columns of two mul-ready values (<= 31 digits each).
+    """Full product columns, schoolbook (legal up to sum2 x sum2 operands:
+    column sums stay <= 30*(2F)^2 < 2^31). Prefer `mul_wide_f` (hybrid
+    Karatsuba, -28% eops) when BOTH operands are mul-ready (|d| <= F)."""
+    return _school_cols(a, b)
 
-    961 muls + ~930 adds, accumulated raw in int32 — exact because column
-    sums stay < 31*F^2 < 2^31. No carry work at all here.
-    """
+
+def _school_cols(a, b):
     la, lb = len(a), len(b)
-    acc = [None] * (la + lb)
+    acc = [None] * (la + lb - 1)
     for i in range(la):
         for j in range(lb):
             prod = a[i] * b[j]
@@ -194,10 +203,74 @@ def mul_wide(a, b):
     return [x if x is not None else z for x in acc]
 
 
+def _half_sum(lo, hi):
+    """Digit-wise lo + hi where len(hi) may exceed len(lo) by one."""
+    out = [x + y for x, y in zip(lo, hi)]
+    return out + list(hi[len(lo):])
+
+
+def _kara_combine(m0, m1, m2, h, n_cols):
+    """Assemble res = m0 + (m2 - m0 - m1)<<h + m1<<2h.
+
+    Every individual op RESULT is a true partial convolution value (two's
+    complement makes a single add/sub exact whenever its RESULT fits int32),
+    so the int32 bounds are set by true column values, not by worst-case
+    interval composition — see mul_wide_f's legality note."""
+    mid = [(x - y) for x, y in zip(m2, m0)] + list(m2[len(m0):])
+    mid = [(x - y) for x, y in zip(mid, m1)] + list(mid[len(m1):])
+    z = jnp.zeros_like(m0[0])
+    acc = [None] * n_cols
+    for src, off in ((m0, 0), (mid, h), (m1, 2 * h)):
+        for k, v in enumerate(src):
+            i = off + k
+            acc[i] = v if acc[i] is None else acc[i] + v
+    return [x if x is not None else z for x in acc]
+
+
+def _kara_cols(a, b, depth: int):
+    """Karatsuba columns with `depth` further splits on the LOW/HIGH halves
+    only; every middle product is schoolbook (its operands' digit bound
+    doubles, so a nested middle split would overflow int32 columns)."""
+    n = len(a)
+    if depth == 0 or n < 8 or len(b) != n:
+        return _school_cols(a, b)
+    h = n // 2
+    a0, a1, b0, b1 = a[:h], a[h:], b[:h], b[h:]
+    m0 = _kara_cols(a0, b0, depth - 1)
+    m1 = _kara_cols(a1, b1, depth - 1)
+    m2 = _school_cols(_half_sum(a0, a1), _half_sum(b0, b1))
+    return _kara_combine(m0, m1, m2, h, 2 * n - 1)
+
+
+def mul_wide_f(a, b):
+    """Product columns for MUL-READY operands (|d| <= F_BOUND each): hybrid
+    two-level Karatsuba, ~1.27K eops vs ~1.77K schoolbook at 30 digits.
+
+    Legality (everything accumulates raw in int32):
+      * middle products are schoolbook on digit bound 2F:
+        cols <= 15*(2F)^2 = 1.02e9 (outer), 8*(2F)^2 = 5.5e8 (inner).
+      * combination steps: each op's RESULT is a true partial column value
+        (single int32 ops are exact iff the result fits — wraparound covers
+        any "intermediate" range), all < 1.8e9 < 2^31.
+      * assembled columns equal the true convolution, <= 30*F^2 = 5.1e8.
+    """
+    n = len(a)
+    if n != len(b) or n < 16:
+        return _school_cols(a, b)
+    h = n // 2
+    a0, a1, b0, b1 = a[:h], a[h:], b[:h], b[h:]
+    m0 = _kara_cols(a0, b0, 1)
+    m1 = _kara_cols(a1, b1, 1)
+    m2 = _school_cols(_half_sum(a0, a1), _half_sum(b0, b1))  # 2F operands
+    return _kara_combine(m0, m1, m2, h, 2 * n - 1)
+
+
 def mul_const_wide(a, c_digits):
-    """Product by a static constant (python-int digits, 0 <= c_d < 2^13)."""
+    """Product by a static constant (python-int digits, 0 <= c_d < 2^13),
+    schoolbook — legal for canonical operands (30*8191^2 = 2.01e9 < 2^31).
+    Prefer `mul_const_wide_f` when `a` is mul-ready."""
     la = len(a)
-    acc = [None] * (la + len(c_digits))
+    acc = [None] * (la + len(c_digits) - 1)
     for i in range(la):
         for j, cj in enumerate(c_digits):
             if cj == 0:
@@ -207,6 +280,33 @@ def mul_const_wide(a, c_digits):
             acc[k] = prod if acc[k] is None else acc[k] + prod
     z = jnp.zeros_like(a[0])
     return [x if x is not None else z for x in acc]
+
+
+def _kara_const_cols(a, c, depth: int):
+    if depth == 0 or len(a) < 8 or len(c) != len(a):
+        return mul_const_wide(a, list(c))
+    n = len(a)
+    h = n // 2
+    m0 = _kara_const_cols(a[:h], c[:h], depth - 1)
+    m1 = _kara_const_cols(a[h:], c[h:], depth - 1)
+    cs = [int(x) + int(y) for x, y in zip(c[:h], c[h:])] + [
+        int(v) for v in c[2 * h:]
+    ]
+    m2 = mul_const_wide(_half_sum(a[:h], a[h:]), cs)
+    return _kara_combine(m0, m1, m2, h, 2 * n - 1)
+
+
+def mul_const_wide_f(a, c_digits):
+    """Two-level Karatsuba product with a static constant, for MUL-READY
+    `a` (|d| <= F_BOUND) and canonical constant digits (< 2^13). The
+    constant-side half sums are folded at trace time for free.
+
+    Legality: outer middle cols <= 15 * 2F * 2*8191 = 2.03e9 < 2^31; inner
+    middle cols <= 8 * 2F * 2*8191 = 1.08e9; combination ops' RESULTS are
+    true partial convolution values (cf. mul_wide_f), all < 2.03e9."""
+    if len(a) != len(c_digits) or len(a) < 16:
+        return mul_const_wide(a, list(c_digits))
+    return _kara_const_cols(a, list(c_digits), 2)
 
 
 def mul_low_const(a, c_digits, out_len):
@@ -245,12 +345,13 @@ def reduce_wide(t):
       The low 30 digits' value is divisible by R13 AND bounded in magnitude
       by 4129*(2^390-1)/8191 < 0.504*R13 — hence EXACTLY ZERO (this is the
       balanced-digit payoff: no carry detection needed at all).
-      Result = u[30:61]; the truncation at 31 digits is exact because the
-      result value is < 3p < 0.49 * 2^403.
+      Result = u[30:60]; the truncation at ELEM=30 digits is exact because
+      the result value is < 3p < 0.49 * 2^390 (any higher folded digit is
+      provably zero).
     """
     t = fold(t)
     m = fold2(mul_low_const(t[:L13], NINV_DIGITS, L13), L13)
-    u = fold2(add(t, mul_const_wide(m, P_DIGITS)))
+    u = fold2(add(t, mul_const_wide_f(m, P_DIGITS)))
     z = jnp.zeros_like(u[0])
     hi = u[L13:] + [z] * max(0, ELEM - (len(u) - L13))
     return hi[:ELEM]
@@ -258,7 +359,7 @@ def reduce_wide(t):
 
 def mont_mul(a, b):
     """Full Montgomery product for mul-ready operands: a*b/R13 mod p."""
-    return reduce_wide(prered(mul_wide(a, b)))
+    return reduce_wide(prered(mul_wide_f(a, b)))
 
 
 def mont_mul_const(a, c_digits):
@@ -274,9 +375,13 @@ def store30(d):
     return fold2(d, L13)
 
 
-def load31(d30):
-    """Stored 30-digit value -> ELEM-digit element (append zero top digit)."""
-    return list(d30) + [jnp.zeros_like(d30[0])]
+def load_elem(d30):
+    """Stored 30-digit value -> ELEM-digit element (identity now that
+    ELEM == L13; kept as the codec seam the kernel packers call)."""
+    return list(d30)
+
+
+load31 = load_elem  # round-3 name
 
 
 # --- representation conversion ----------------------------------------------
@@ -292,7 +397,7 @@ def from_limbs16(a16):
         if off + RADIX > 16 and j + 1 < L16:
             d = d | (a16[j + 1] << (16 - off))
         out.append((d & jnp.uint32(DMASK)).astype(jnp.int32))
-    return out + [jnp.zeros_like(out[0])]
+    return out
 
 
 def to_limbs16_strict(d):
@@ -410,11 +515,11 @@ def fp2_select(mask, a, b):
 def fp2_mul_prered(a, b):
     """Karatsuba -> pair of prered-combination wides (digit bounds re: 2F,
     im: 3F — safe to combine once more, up to 6F total, before fp2_reduce)."""
-    m0 = prered(mul_wide(a[0], b[0]))
-    m1 = prered(mul_wide(a[1], b[1]))
+    m0 = prered(mul_wide_f(a[0], b[0]))
+    m1 = prered(mul_wide_f(a[1], b[1]))
     sa = fold_sum(add(a[0], a[1]))
     sb = fold_sum(add(b[0], b[1]))
-    m2 = prered(mul_wide(sa, sb))
+    m2 = prered(mul_wide_f(sa, sb))
     return (sub(m0, m1), sub(m2, add(m0, m1)))
 
 

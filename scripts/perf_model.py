@@ -77,8 +77,8 @@ def count_add_ops(kind: str):
     def pt():
         return (coord(), coord(), coord())
 
-    p, q = pt(), pt()
-    jaxpr = jax.make_jaxpr(lambda a, b: LG.full_add(f, a, b))(p, q)
+    p, q = pt(), (coord(), coord())  # kernel regime: projective + AFFINE
+    jaxpr = jax.make_jaxpr(lambda a, b: LG.mixed_add(f, a, b))(p, q)
     return tally(jaxpr.jaxpr)
 
 
@@ -87,7 +87,7 @@ def main():
 
     print("v2 lazy-kernel MSM speed-of-light model (single v5e chip)")
     print(f"VPU ceiling {VPU_CEILING:.2e} eops/s; measured sustained {VPU_MEASURED:.2e}")
-    for kind, c in (("g1", 7), ("g1", 6), ("g2", 5)):
+    for kind, c in (("g1", 7), ("g1", 6), ("g2", 6), ("g2", 5)):
         add_ops = int(count_add_ops(kind))
         kc = MP2.KC2_G1 if kind == "g1" else MP2.KC2_G2
         B = MP2._num_buckets(c)

@@ -79,7 +79,8 @@ def main():
         "prepare", MP2._prepare_inputs, dp, ds, curve=G1, c=c
     )
     dump, dt_kern = timed("kernel", MP2._accumulate2, pa, da, kc=kc, c=c)
-    ws, dt_red = timed("reduce", MP2._reduce_dump, dump, kc=kc)
+    ws, dt_red = timed("reduce", MP2._reduce_dump, dump, kc=kc,
+                       B=MP2._num_buckets(c))
     out, dt_fin = timed("finish", MP2._finish, ws, kc=kc, c=c)
     out = MP2._unstack_strict(out, kc)
 

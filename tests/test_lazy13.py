@@ -175,10 +175,13 @@ def test_worst_case_column_bound():
     w = LZ.mul_wide(d, d)
     got = from_digits_batch(w)
     assert got == [worst[0] * worst[0]]
-    # fold2 then mont-reduce still exact
-    res = LZ.reduce_wide(LZ.prered(w))
+    # mont-reduce at the |input| < R13/2 contract edge (the Montgomery map
+    # contracts only there; ELEM=30 truncation needs |result| < 0.49*2^390)
+    edge = [(LZ.R13 >> 1) - 1]
+    de = to_digits_batch(edge)
+    res = LZ.reduce_wide(LZ.prered(LZ.mul_wide(de, de)))
     r_inv = pow(LZ.R13, -1, P)
-    assert from_digits_batch(res)[0] % P == worst[0] ** 2 * r_inv % P
+    assert from_digits_batch(res)[0] % P == edge[0] ** 2 * r_inv % P
 
 
 def test_store30_roundtrip():
@@ -192,3 +195,73 @@ def test_store30_roundtrip():
     assert_bound(s30, LZ.F_BOUND, "store30")
     back = LZ.load31(s30)
     assert from_digits_batch(back) == [7 * v - 10 * P for v in vals]
+
+
+def _balanced_digits(vals):
+    """ints -> balanced mul-ready digit batch (|d| <= 4096)."""
+    from ark_blst_tpu.curves.msm_pallas2 import int_to_digits_balanced
+
+    mat = np.stack([int_to_digits_balanced(v) for v in vals])
+    return [jnp.asarray(mat[:, k]) for k in range(LZ.L13)]
+
+
+def test_mul_wide_f_exact_extremes():
+    """Hybrid Karatsuba vs exact ints at ADVERSARIAL digit patterns: all +F,
+    all -F, alternating +-F, random-signed F — the int32 column-bound edge."""
+    F = LZ.F_BOUND
+    pats = [
+        [F] * 30,
+        [-F] * 30,
+        [F if k % 2 else -F for k in range(30)],
+        [0] * 29 + [F],
+        [F] + [0] * 29,
+    ]
+    for _ in range(6):
+        pats.append([int(v) for v in rng.integers(-F, F + 1, 30)])
+    n = len(pats)
+    mat = np.array(pats, np.int32)
+    a = [jnp.asarray(mat[:, k]) for k in range(30)]
+    # pair every pattern with the all(+F) pattern and with itself
+    worst = [jnp.full((n,), F, jnp.int32) for _ in range(30)]
+    for b in (a, worst):
+        got = from_digits_batch(LZ.mul_wide_f(a, b))
+        av = from_digits_batch(a)
+        bv = from_digits_batch(b)
+        assert got == [x * y for x, y in zip(av, bv)], "kara mismatch"
+        school = from_digits_batch(LZ.mul_wide(a, b))
+        assert got == school
+
+
+def test_mul_const_wide_f_exact():
+    """Const Karatsuba (m * p in reduce_wide) vs exact ints at the F bound."""
+    F = LZ.F_BOUND
+    pats = [[F] * 30, [-F] * 30, [F if k % 2 else -F for k in range(30)]]
+    for _ in range(5):
+        pats.append([int(v) for v in rng.integers(-F, F + 1, 30)])
+    mat = np.array(pats, np.int32)
+    a = [jnp.asarray(mat[:, k]) for k in range(30)]
+    av = from_digits_batch(a)
+    for cd in (LZ.P_DIGITS, LZ.ONE13, [8191] * 30):
+        cv = sum(int(c) << (13 * i) for i, c in enumerate(cd))
+        got = from_digits_batch(LZ.mul_const_wide_f(a, cd))
+        assert got == [x * cv for x in av], "const kara mismatch"
+
+
+def test_elem_is_30_and_reduce_bound():
+    """ELEM=30 invariant: reduce_wide output is 30 digits, |value| < 3p,
+    mul-ready — even for worst-case 12-prered combinations."""
+    assert LZ.ELEM == 30
+    vals = rand_vals(16)
+    a, b = to_digits_batch(vals), to_digits_batch(vals[::-1])
+    w = LZ.prered(LZ.mul_wide_f(LZ.fold2(a, LZ.ELEM), LZ.fold2(b, LZ.ELEM)))
+    t = w
+    for _ in range(11):  # 12-fold prered combination (max contract)
+        t = LZ.add(t, w)
+    out = LZ.reduce_wide(t)
+    assert len(out) == LZ.ELEM
+    assert_bound(out, LZ.F_BOUND, "reduce_wide")
+    r_inv = pow(LZ.R13, -1, P)
+    want = [12 * x * y * r_inv % P for x, y in zip(vals, vals[::-1])]
+    got = from_digits_batch(out)
+    assert [v % P for v in got] == want
+    assert all(abs(v) < 3 * P for v in got), "reduce output out of (-3p,3p)"

@@ -102,7 +102,7 @@ def test_window_digits_signed_reconstruct():
     scs = [0, 1, OF.R - 1, (1 << 255) - 1] + [rng.randrange(OF.R) for _ in range(8)]
     for c in (4, 5, 6):
         digs = np.asarray(M.window_digits_signed(CV.fr_to_dev(scs), c))
-        assert digs.shape[0] == (256 + c - 1) // c + 1
+        assert digs.shape[0] == (256 + c - 1) // c
         for i, s in enumerate(scs):
             total = 0
             for j in range(digs.shape[0]):

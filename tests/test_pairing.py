@@ -111,3 +111,78 @@ def test_multi_miller_loop_product():
     got = CV.fp12_from_dev(out)
     expected = OP.multi_miller_loop([(P1, Q1), (None, Q2), (P2, Q2)])
     assert got == [expected]
+
+
+def test_device_g2_prepared_reuse():
+    """prepare once, pair twice: DeviceG2Prepared results must equal the
+    unprepared device path and the oracle (strict engine, CPU lane; the
+    lazy engine twin runs in the TPU lane)."""
+    import random
+
+    from ark_blst_tpu import Bls12, G1Affine, G2Affine
+
+    rng = random.Random(31)
+    n = 4
+    ps1 = [G1Affine.rand(rng) for _ in range(n)]
+    ps2 = [G1Affine.rand(rng) for _ in range(n)]
+    qs = [G2Affine.rand(rng) for _ in range(n - 1)] + [G2Affine.zero()]
+    prep = Bls12.prepare_g2_batch(qs, fuse=False)
+    for ps in (ps1, ps2):
+        got = Bls12.pairing_batch(ps, prep, fuse=False)
+        want = Bls12.pairing_batch(ps, qs, fuse=False)
+        assert got == want
+        assert got[0] == Bls12.pairing(ps[0], qs[0])
+        assert got[-1].is_one()  # identity q -> one
+
+
+@pytest.mark.slow
+def test_multi_pairing_sharded_matches_unsharded():
+    """Sharded multi-pairing product over the virtual mesh vs the same
+    computation unsharded (SURVEY §2d's collective use case). The Miller
+    schedule is truncated to 4 events and final exp skipped — the
+    distribution logic (shard_map, per-device partial products, gather +
+    fold) is what this validates; the full schedule's correctness is
+    covered by the eager/TPU pairing tests, and a mesh(1) full run lives in
+    the TPU lane."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ark_blst_tpu import G1Affine, G2Affine
+    from ark_blst_tpu.curves import pairing as DP
+    from ark_blst_tpu.ops import convert as CV
+    from ark_blst_tpu.ops import tower_lazy as TL
+
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs a multi-device mesh")
+    ndev = 4
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:ndev]), ("data",))
+    rng = random.Random(33)
+    n = 8
+    ps = [G1Affine.rand(rng) for _ in range(n - 1)] + [G1Affine.zero()]
+    qs = [G2Affine.rand(rng) for _ in range(n)]
+    gen1 = G1Affine.generator().p
+    pv = [gen1 if p.is_zero() else p.p for p in ps]
+    pdev = (CV.fp_to_dev([p[0] for p in pv]), CV.fp_to_dev([p[1] for p in pv]))
+    qdev = (
+        CV.fp2_to_dev([q.p[0] for q in qs]),
+        CV.fp2_to_dev([q.p[1] for q in qs]),
+    )
+    p_inf = jnp.asarray(np.array([p.is_zero() for p in ps]))
+    events = 4
+    # sharded: lazy engine, fused (compact scan bodies are the only trace
+    # XLA:CPU can compile in reasonable time; same engine the TPU runs)
+    out = DP.multi_pairing_sharded(
+        pdev, qdev, mesh, p_inf=p_inf, engine="lazy", final=False,
+        events=events, fuse=True,
+    )
+    # unsharded twin: eager truncated lazy miller product, same masking
+    coeffs = DP.prepare_g2(qdev, fuse=False, engine="lazy", events=events)
+    f = DP.miller_loop(pdev, coeffs, fuse=False, engine="lazy", events=events)
+    f = TL.select(p_inf, TL.fp12_one((n,)), f)
+    want = DP._egress(TL, DP._fold_mul(TL, f, n))
+    assert CV.fp12_from_dev(out) == CV.fp12_from_dev(want)
