@@ -75,9 +75,9 @@ def _fp2_one_zero_like(T, qx):
     device-varying under shard_map and scan carries type-check without
     check_vma escape hatches (the round-1 lesson)."""
     if T is TL:
-        z = qx[0][0] * 0
-        one = [z + jnp.int32(v) if v else z for v in TL._const_digits(1)]
-        return (one, [z] * len(qx[0]))
+        zero = qx[0] * 0  # stacked (30, *batch)
+        one = zero + TL._const_col(1, zero.ndim - 1)
+        return (one, zero)
     sh = qx[0].shape[1:]
     zero = qx[0] * 0
     return (zero + T.fp_const(1, sh), zero)
@@ -87,9 +87,8 @@ def _fp12_one_like(T, px, sh):
     """fp12 one with every leaf derived from the input batch (x*0 + const):
     vma-correct as a scan carry inside shard_map (cf. _fp2_one_zero_like)."""
     if T is TL:
-        z = px[0] * 0
-        one = [z + jnp.int32(v) if v else z for v in TL._const_digits(1)]
-        zero = [z] * len(px)
+        zero = px * 0  # stacked (30, *batch)
+        one = zero + TL._const_col(1, zero.ndim - 1)
     else:
         zero = px * 0
         one = zero + T.fp_const(1, sh)
@@ -351,6 +350,16 @@ def _to2d(arr):
     return arr.reshape(arr.shape[0], arr.shape[1] // 128, 128)
 
 
+def _pad128(arr, n2):
+    """Edge-pad the trailing batch axis to n2 (padded entries are valid
+    copies of the last element; callers slice or mask them away)."""
+    n = arr.shape[-1]
+    if n == n2:
+        return arr
+    pad = [(0, 0)] * (arr.ndim - 1) + [(0, n2 - n)]
+    return jnp.pad(arr, pad, mode="edge")
+
+
 def pairing(p, q, p_inf=None, q_inf=None, fuse=None, engine=None):
     """Batched full pairing e(P_i, Q_i) elementwise (no product reduction):
     returns a STRICT fp12 batch shaped like the inputs. Identity inputs
@@ -358,14 +367,20 @@ def pairing(p, q, p_inf=None, q_inf=None, fuse=None, engine=None):
     internally for full sublane utilization."""
     T = _tower(engine)
     n = p[0].shape[-1]
-    flat = p[0].ndim == 2 and n % 128 == 0 and n >= 128
+    # 2-D reshape + padding serve the lazy/TPU path (sublane utilization,
+    # and keeping the per-digit trace off the compiler); the strict eager
+    # path would only get 64x more work from padding tiny test batches
+    flat = T is TL and p[0].ndim == 2
     if flat:
-        p = (_to2d(p[0]), _to2d(p[1]))
-        q = ((_to2d(q[0][0]), _to2d(q[0][1])), (_to2d(q[1][0]), _to2d(q[1][1])))
+        n2 = -(-n // 128) * 128  # pad so the 2-D fast path always applies
+        p = (_to2d(_pad128(p[0], n2)), _to2d(_pad128(p[1], n2)))
+        q = tuple(
+            (_to2d(_pad128(c[0], n2)), _to2d(_pad128(c[1], n2))) for c in q
+        )
         if p_inf is not None:
-            p_inf = p_inf.reshape(n // 128, 128)
+            p_inf = _pad128(p_inf, n2).reshape(n2 // 128, 128)
         if q_inf is not None:
-            q_inf = q_inf.reshape(n // 128, 128)
+            q_inf = _pad128(q_inf, n2).reshape(n2 // 128, 128)
     coeffs = prepare_g2(q, fuse, engine)
     f = miller_loop(p, coeffs, fuse, engine)
     skip = None
@@ -377,7 +392,7 @@ def pairing(p, q, p_inf=None, q_inf=None, fuse=None, engine=None):
         f = T.select(skip, T.fp12_one(p[0].shape[1:]), f)
     out = _egress(T, final_exp(f, fuse, engine))
     if flat:
-        out = jax.tree.map(lambda x: x.reshape(x.shape[0], n), out)
+        out = jax.tree.map(lambda x: x.reshape(x.shape[0], -1)[:, :n], out)
     return out
 
 
@@ -406,14 +421,9 @@ def stack_coeffs(coeffs):
 
 
 def unstack_coeffs(arr, engine=None):
-    """Inverse of stack_coeffs for the given engine."""
-    T = _tower(engine)
-    if T is TL:
-        template = tuple(
-            ([0] * 30, [0] * 30) for _ in range(3)
-        )
-    else:
-        template = tuple((0, 0) for _ in range(3))
+    """Inverse of stack_coeffs (both engines: 3 coefficient fp2 pairs,
+    each component one stacked array)."""
+    template = tuple((0, 0) for _ in range(3))
     treedef = jax.tree.structure(template)
     leaves = [arr[i] for i in range(arr.shape[0])]
     return jax.tree.unflatten(treedef, leaves)

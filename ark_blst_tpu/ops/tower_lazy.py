@@ -1,31 +1,37 @@
 """Batched Fp2/Fp6/Fp12 tower arithmetic on the LAZY radix-13 engine.
 
 Round-4 port of the strict tower (ops/tower.py) onto ops/lazy13.py — the
-same op surface, ~6-8x fewer element-ops per multiply (hybrid-Karatsuba
-products, one Montgomery reduction per Fp output, no Kogge-Stone carry
-normalization, free signed subtraction). This is the engine the pairing
-pipeline (curves/pairing.py) runs on for TPU execution; the strict tower
-remains the differential twin.
+same op surface, ~6-8x fewer element-ops per multiply. This is the engine
+the pairing pipeline (curves/pairing.py) runs on for TPU execution; the
+strict tower remains the differential twin.
+
+Representation: an Fp element is ONE stacked int32 array (30, *batch) of
+balanced radix-13 digits (lazy Montgomery domain R13 = 2^390), NOT a list
+of per-digit arrays. This is load-bearing twice over:
+  * trace size — per-digit lists make every fold ~150 primitives and a
+    full pairing ~300K XLA statements, which OOM-kills the remote TPU
+    compile helper; stacked folds are ~6 whole-array ops and the pairing
+    trace collapses ~100x;
+  * dispatch — pairing values cross jit boundaries as 18 arrays instead
+    of ~1080 (the platform charges ~10 ms per boundary array).
+Multiplies are Pallas-resident on TPU (ops/pallas_lazy.py): XLA leaves the
+digit-product graphs unfused and memory-bound (13-20x off the compute
+bound, scripts/tpu_lazymul_probe.py); the Pallas kernel keeps digit blocks
+in VMEM. Off-TPU they fall back to the XLA/eager digit-list multiply.
+
+  fp2  = (c0, c1)        stacked (30, *batch) int32 arrays
+  fp6  = (a0, a1, a2)    of fp2
+  fp12 = (b0, b1)        of fp6
+
+INVARIANT: every element this module returns is MUL-READY (|digit| <=
+F_BOUND) — adds/subs/small-scales fold their outputs, so any two module
+outputs multiply via the Karatsuba fast path with no bound bookkeeping.
 
 Re-creates what the reference delegates to blst's C tower
 (`blst_fp12_mul` at /root/reference/src/pairing.rs:68, cyclotomic square at
 src/pairing.rs:28). Frobenius maps are correct — coefficient tables from
 first principles via the oracle — unlike the reference's no-op quirk
 (/root/reference/src/fp2.rs:548, fp6.rs:552, fp12.rs:554).
-
-Representation (lazy Montgomery domain R13 = 2^390, batched):
-  fp   = list of 30 int32 digit arrays, any common batch shape
-  fp2  = (c0, c1); fp6 = (a0, a1, a2) of fp2; fp12 = (b0, b1) of fp6
-
-INVARIANT: every element this module returns is MUL-READY (|digit| <=
-F_BOUND) — adds/subs/small-scales fold their outputs (a ~5 op/digit fold
-vs ~3.9K eops per multiply), so any two module outputs can be multiplied
-with the Karatsuba fast path without bound bookkeeping at call sites.
-
-Ingest/egress converts the strict radix-16 stacked representation
-(fieldops.py, (24, *batch) uint32) to/from the lazy domain — one constant
-multiply per Fp component, exactly like the MSM kernel's prepare/finish
-(curves/msm_pallas2.py).
 """
 
 from __future__ import annotations
@@ -35,7 +41,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..curves.lazy_group import FP_LAZY, FP2_LAZY
 from ..oracle import field as OF
 from . import lazy13 as LZ
 from .limbs import FP
@@ -50,6 +55,38 @@ _R16_DIGITS = [int(v) for v in LZ.int_to_digits(R16_MOD_P)]
 # MSB-first bits of p - 2 for the Fermat inversion ladder
 _P_MINUS_2_BITS = np.array([int(b) for b in bin(_P - 2)[2:]], np.bool_)
 
+_HALF = jnp.int32(LZ.HALF)
+_DMASK = jnp.int32(LZ.DMASK)
+
+
+def _unstack(a):
+    return [a[i] for i in range(a.shape[0])]
+
+
+# --- stacked-digit primitives -------------------------------------------------
+
+def fold30(t):
+    """One balanced carry-release pass on a stacked (30, ...) value,
+    truncated back to 30 digits — exact whenever |value| < 0.49 * 2^390
+    (~250p; every tower intermediate qualifies). ~6 whole-array ops."""
+    u = t + _HALF
+    lo = (u & _DMASK) - _HALF
+    hi = u >> LZ.RADIX
+    return lo + jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
+
+
+def _mul(a, b):
+    """Full lazy Montgomery product of stacked mul-legal operands:
+    Pallas-resident when the batch is kernel-blockable on TPU, digit-list
+    XLA/eager otherwise."""
+    if jax.default_backend() == "tpu":
+        from . import pallas_lazy as PLZ
+
+        sh = a.shape
+        if len(sh) == 3 and sh[1] % 8 == 0 and sh[2] == 128:
+            return PLZ.mont_mul_stacked(a, b)
+    return jnp.stack(LZ.mont_mul(_unstack(a), _unstack(b)))
+
 
 # --- ingest / egress (strict radix-16 <-> lazy radix-13) ---------------------
 
@@ -57,37 +94,81 @@ def fp_ingest(arr):
     """Strict stacked (24, *batch) uint32 Montgomery-R16 -> lazy element."""
     a16 = [arr[i] for i in range(FP.num_limbs)]
     d = LZ.from_limbs16(a16)  # canonical digits of v*R16
-    return LZ.mont_mul_const(d, _R16_TO_R13_DIGITS)  # v*R13, mul-ready
+    return jnp.stack(LZ.mont_mul_const(d, _R16_TO_R13_DIGITS))
 
 
 def fp_egress(a):
     """Lazy element -> strict stacked (24, *batch) uint32 Montgomery-R16."""
-    y = LZ.mont_mul_const(a, _R16_DIGITS)  # v*R13 -> v*R16
+    y = LZ.mont_mul_const(_unstack(a), _R16_DIGITS)  # v*R13 -> v*R16
     return jnp.stack(LZ.to_limbs16_strict(LZ.canonicalize(y)))
 
 
+def _ingest_many(arrs):
+    """Concatenate strict components along the batch axis and ingest ONCE:
+    the per-digit splice+const-mul is ~6K traced statements per call, so
+    tower values pay it once, not per component."""
+    if len(arrs) == 1:
+        return [fp_ingest(arrs[0])]
+    A = jnp.concatenate(arrs, axis=1)
+    out = fp_ingest(A)
+    n = arrs[0].shape[1]
+    return [
+        lax.slice_in_dim(out, i * n, (i + 1) * n, axis=1)
+        for i in range(len(arrs))
+    ]
+
+
+def _egress_many(elems):
+    """Concatenated egress (canonicalize is ~11K traced statements)."""
+    if len(elems) == 1:
+        return [fp_egress(elems[0])]
+    A = jnp.concatenate(elems, axis=1)
+    out = fp_egress(A)
+    n = elems[0].shape[1]
+    return [
+        lax.slice_in_dim(out, i * n, (i + 1) * n, axis=1)
+        for i in range(len(elems))
+    ]
+
+
 def fp2_ingest(a):
-    return (fp_ingest(a[0]), fp_ingest(a[1]))
+    o = _ingest_many([a[0], a[1]])
+    return (o[0], o[1])
 
 
 def fp2_egress(a):
-    return (fp_egress(a[0]), fp_egress(a[1]))
+    o = _egress_many([a[0], a[1]])
+    return (o[0], o[1])
 
 
 def fp6_ingest(a):
-    return tuple(fp2_ingest(x) for x in a)
+    o = _ingest_many([a[i][j] for i in range(3) for j in range(2)])
+    return tuple((o[2 * i], o[2 * i + 1]) for i in range(3))
 
 
 def fp6_egress(a):
-    return tuple(fp2_egress(x) for x in a)
+    o = _egress_many([a[i][j] for i in range(3) for j in range(2)])
+    return tuple((o[2 * i], o[2 * i + 1]) for i in range(3))
 
 
 def fp12_ingest(a):
-    return tuple(fp6_ingest(x) for x in a)
+    o = _ingest_many(
+        [a[i][j][k] for i in range(2) for j in range(3) for k in range(2)]
+    )
+    it = iter(o)
+    return tuple(
+        tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
+    )
 
 
 def fp12_egress(a):
-    return tuple(fp6_egress(x) for x in a)
+    o = _egress_many(
+        [a[i][j][k] for i in range(2) for j in range(3) for k in range(2)]
+    )
+    it = iter(o)
+    return tuple(
+        tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
+    )
 
 
 # --- constants ----------------------------------------------------------------
@@ -105,14 +186,22 @@ def _const_digits(value: int):
     return out
 
 
+def _const_col(value: int, ndim_batch: int):
+    """(30, 1, ..) broadcastable constant column."""
+    arr = np.array(_const_digits(value), np.int32).reshape(
+        (LZ.L13,) + (1,) * ndim_batch
+    )
+    return jnp.asarray(arr)
+
+
 def fp_const(value: int, batch_shape):
-    z = jnp.zeros(batch_shape, jnp.int32)
-    return [z + jnp.int32(v) if v else z for v in _const_digits(value)]
+    return jnp.broadcast_to(
+        _const_col(value, len(batch_shape)), (LZ.L13,) + tuple(batch_shape)
+    )
 
 
 def fp_zero(batch_shape):
-    z = jnp.zeros(batch_shape, jnp.int32)
-    return [z] * LZ.ELEM
+    return jnp.zeros((LZ.L13,) + tuple(batch_shape), jnp.int32)
 
 
 def fp2_const(c, batch_shape):
@@ -120,58 +209,65 @@ def fp2_const(c, batch_shape):
 
 
 def batch_shape_of(a):
-    return a[0].shape
+    return a.shape[1:]
 
 
 # --- fp -----------------------------------------------------------------------
 
 def fp_add(a, b):
-    return LZ.fold_sum(LZ.add(a, b))
+    return fold30(a + b)
 
 
 def fp_sub(a, b):
-    return LZ.fold_sum(LZ.sub(a, b))
+    return fold30(a - b)
 
 
 def fp_neg(a):
-    return LZ.neg(a)
+    return -a
 
 
 def fp_mul_small(a, k: int):
-    return LZ.fold_sum(LZ.scale(a, k))
+    return fold30(a * jnp.int32(k))
 
 
 def fp_mul_many(pairs):
-    """Batched mul-ready products: ONE concatenated Karatsuba wide multiply
-    + ONE concatenated reduction (keeps the traced op count independent of
-    len(pairs) — the lazy analog of the strict tower's fused Pallas launch)."""
-    return FP_LAZY.red(FP_LAZY.mulp(pairs))
+    """Batched mul-ready products: ONE concatenated multiply (Pallas kernel
+    on TPU) — the traced op count is independent of len(pairs)."""
+    if len(pairs) == 1:
+        return [_mul(pairs[0][0], pairs[0][1])]
+    A = jnp.concatenate([a for a, _ in pairs], axis=1)
+    B = jnp.concatenate([b for _, b in pairs], axis=1)
+    out = _mul(A, B)
+    n = pairs[0][0].shape[1]
+    return [
+        lax.slice_in_dim(out, i * n, (i + 1) * n, axis=1)
+        for i in range(len(pairs))
+    ]
 
 
 def fp_mul(a, b):
-    return LZ.mont_mul(a, b)
+    return _mul(a, b)
 
 
 def fp_inv(a, fuse: bool = True):
     """Fermat inversion a^(p-2) (Montgomery). fuse=True scans the exponent
-    bits (one traced square+mul body); fuse=False unrolls a Python loop —
-    the XLA:CPU-friendly eager path."""
+    bits; fuse=False unrolls a Python loop (eager CPU path)."""
     if not fuse:
         r = a
         for bit in _P_MINUS_2_BITS[1:]:
-            r = LZ.mont_mul(r, r)
+            r = _mul(r, r)
             if bit:
-                r = LZ.mont_mul(r, a)
+                r = _mul(r, a)
         return r
 
     bits = jnp.asarray(_P_MINUS_2_BITS[1:])
 
     def body(r, bit):
-        r2 = LZ.mont_mul(r, r)
-        r3 = LZ.select(bit, LZ.mont_mul(r2, a), r2)
+        r2 = _mul(r, r)
+        r3 = jnp.where(bit, _mul(r2, a), r2)
         return r3, None
 
-    out, _ = lax.scan(body, list(a), bits)
+    out, _ = lax.scan(body, a, bits)
     return out
 
 
@@ -186,11 +282,11 @@ def fp2_sub(a, b):
 
 
 def fp2_neg(a):
-    return (LZ.neg(a[0]), LZ.neg(a[1]))
+    return (-a[0], -a[1])
 
 
 def fp2_conj(a):
-    return (a[0], LZ.neg(a[1]))
+    return (a[0], -a[1])
 
 
 def fp2_mul_small(a, k: int):
@@ -203,9 +299,22 @@ def fp2_mul_by_nonresidue(a):
 
 
 def fp2_mul_many(pairs):
-    """Karatsuba (3 base muls per product), all pairs in ONE concatenated
-    wide multiply + reduction (curves/lazy_group.py LazyOps.mulp)."""
-    return FP2_LAZY.red(FP2_LAZY.mulp(pairs))
+    """Karatsuba from three FULL Montgomery products per pair (linear
+    combinations of Montgomery products are exact), all pairs in ONE
+    concatenated Pallas multiply."""
+    legs = []
+    for a, b in pairs:
+        legs += [
+            (a[0], b[0]),
+            (a[1], b[1]),
+            (fp_add(a[0], a[1]), fp_add(b[0], b[1])),
+        ]
+    prods = fp_mul_many(legs)
+    out = []
+    for i in range(len(pairs)):
+        m0, m1, m2 = prods[3 * i : 3 * i + 3]
+        out.append((fp_sub(m0, m1), fold30(m2 - m0 - m1)))
+    return out
 
 
 def fp2_mul(a, b):
@@ -216,14 +325,12 @@ def fp2_sqr_many(items):
     """(a0+a1)(a0-a1), a0*a1 -> 2 base muls per square."""
     legs = []
     for a in items:
-        s = LZ.fold_sum(LZ.add(a[0], a[1]))
-        d = LZ.fold_sum(LZ.sub(a[0], a[1]))
-        legs += [(s, d), (a[0], a[1])]
-    prods = FP_LAZY.red(FP_LAZY.mulp(legs))
+        legs += [(fp_add(a[0], a[1]), fp_sub(a[0], a[1])), (a[0], a[1])]
+    prods = fp_mul_many(legs)
     out = []
     for i in range(len(items)):
         s0, s1 = prods[2 * i : 2 * i + 2]
-        out.append((s0, LZ.fold_sum(LZ.add(s1, s1))))
+        out.append((s0, fp_add(s1, s1)))
     return out
 
 
@@ -237,13 +344,14 @@ def fp2_inv(a, fuse: bool = True):
     norm = fp_add(n0, n1)
     inv = fp_inv(norm, fuse)
     c0, c1 = fp_mul_many([(a[0], inv), (a[1], inv)])
-    return (c0, LZ.neg(c1))
+    return (c0, -c1)
 
 
 # --- generic pytree helpers ---------------------------------------------------
 
 def select(mask, a, b):
-    """Elementwise select over any tower pytree; mask is batch-shaped."""
+    """Elementwise select over any tower pytree; mask is batch-shaped
+    (trailing-dim broadcasting aligns it under the digit axis)."""
     return jax.tree.map(lambda x, y: jnp.where(mask, x, y), a, b)
 
 
@@ -363,7 +471,7 @@ def fp12_conj(a):
 
 
 def fp12_mul_many(pairs):
-    """Karatsuba: 3 fp6 muls = 18 fp2 muls = 54 base muls, one concat."""
+    """Karatsuba: 3 fp6 muls = 54 base muls, one concatenated launch."""
     legs = []
     for a, b in pairs:
         legs += [
@@ -436,21 +544,12 @@ def fp2_frobenius(a, power: int):
 
 
 def _const_mul_fp2(a, c, batch_shape):
-    """Multiply an fp2 batch by a host fp2 constant via static-digit
-    Karatsuba const-muls (mul_const_wide_f): no variable second operand."""
-    d0 = _const_digits(c[0])
-    d1 = _const_digits(c[1])
-
-    def cmul(x, d):
-        if all(v == 0 for v in d):
-            return fp_zero(batch_shape)
-        # balanced const digits (|d| <= 4096 <= F): mul-ready x mul-ready
-        return LZ.reduce_wide(LZ.prered(LZ.mul_const_wide_f(x, d)))
-
-    # (a0 + a1 u)(c0 + c1 u) = (a0c0 - a1c1) + (a0c1 + a1c0) u
-    r0 = fp_sub(cmul(a[0], d0), cmul(a[1], d1))
-    r1 = fp_add(cmul(a[0], d1), cmul(a[1], d0))
-    return (r0, r1)
+    """Multiply an fp2 batch by a host fp2 constant. The constant rides as
+    a broadcast Montgomery operand through the ordinary (Pallas) multiply —
+    a static-digit const-mul would be ~2.7x cheaper in eops but costs ~3.5K
+    traced statements per use (the round-4 per-digit-trace lesson)."""
+    cc = fp2_const(c, batch_shape)
+    return fp2_mul(a, cc)
 
 
 def fp6_frobenius(a, power: int):
@@ -488,10 +587,32 @@ def fp12_frobenius(a, power: int):
 
 # --- cyclotomic ops -----------------------------------------------------------
 
+def _contract_many(elems):
+    """Montgomery VALUE contraction: x * rep(1) / R13 — same residue mod p,
+    magnitude pulled into (-0.51p, 0.51p). Digit folds bound DIGITS, not
+    values: an op that reuses its raw input additively across iterations
+    (cyclotomic squaring's 3t +- 2z) doubles the value magnitude every
+    round until the fold30 truncation bound (~300p) silently breaks — the
+    round-4 ladder divergence. One batched multiply per call site."""
+    one = jnp.broadcast_to(
+        _const_col(1, elems[0].ndim - 1), elems[0].shape
+    )
+    return fp_mul_many([(x, one) for x in elems])
+
+
 def fp12_cyclotomic_sqr(a):
     """Granger-Scott squaring in the cyclotomic subgroup (lazy twin of
     tower.py fp12_cyclotomic_sqr; mirrors blst_fp12_cyclotomic_sqr's role
-    at /root/reference/src/pairing.rs:28)."""
+    at /root/reference/src/pairing.rs:28). Inputs are value-contracted
+    first: the 3t +- 2z structure feeds the raw input back additively, the
+    one unstable recurrence in the pairing pipeline (see _contract_many)."""
+    cs = _contract_many(
+        [a[0][0][0], a[0][0][1], a[0][1][0], a[0][1][1], a[0][2][0],
+         a[0][2][1], a[1][0][0], a[1][0][1], a[1][1][0], a[1][1][1],
+         a[1][2][0], a[1][2][1]]
+    )
+    a = (((cs[0], cs[1]), (cs[2], cs[3]), (cs[4], cs[5])),
+         ((cs[6], cs[7]), (cs[8], cs[9]), (cs[10], cs[11])))
     (a0, a1, a2), (b0, b1, b2) = a
 
     def fp4_sqr_legs(c0, c1):

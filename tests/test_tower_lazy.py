@@ -145,3 +145,21 @@ def test_lazy_miller_steps_match_strict():
             assert CV.fp2_from_dev(s_c) == CV.fp2_from_dev(TL.fp2_egress(l_c)), (
                 tag, i
             )
+
+
+@pytest.mark.slow
+def test_cyclotomic_iteration_value_stability():
+    """REGRESSION (round 4): iterated cyclotomic squaring must not diverge.
+    The 3t +- 2z structure feeds the raw input back additively; without
+    value contraction the lazy magnitude doubles per round and silently
+    breaks the fold30 truncation bound after ~10-16 rounds (caught on
+    hardware as a final-exp mismatch). 18 rounds covers the failure zone."""
+    from ark_blst_tpu.oracle import pairing as OP
+
+    val = _rand_fp12(2)
+    lz = _to_lazy12(val)
+    host = list(val)
+    for _ in range(18):
+        lz = TL.fp12_cyclotomic_sqr(lz)
+        host = [OP.fp12_cyclotomic_sqr(h) for h in host]
+    assert _from_lazy12(lz) == host
