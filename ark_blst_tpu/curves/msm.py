@@ -49,6 +49,12 @@ from .group import CurveOps, G1, G2
 SCALAR_BITS = FR.num_limbs * LIMB_BITS  # 256
 
 
+class MsmAborted(RuntimeError):
+    """Raised when a `maybe_abort` callback requests cancellation between
+    chunk dispatches — the TPU analog of ec-gpu's EcError::Aborted
+    (/root/reference/src/gpu.rs:58,133-137)."""
+
+
 def _tree_get(pt, idx):
     """Gather along the trailing bucket axis of every coordinate leaf."""
     def get(x):
@@ -313,8 +319,6 @@ def msm_auto(points, scalars, curve: CurveOps = G1, hbm_budget_bytes: int = 6 <<
     from ..config import plan_msm
 
     if maybe_abort is not None and maybe_abort():
-        from .msm_pallas import MsmAborted
-
         raise MsmAborted("aborted before dispatch")
     limbs = FP.num_limbs * (2 if curve.name == "g2" else 1)
     plan = plan_msm(max(1, scalars.shape[-1]), hbm_budget_bytes, coords=3, limbs=limbs)

@@ -258,7 +258,13 @@ class KernelCurve2:
 
 
 KC2_G1 = KernelCurve2("g1", 7)
-KC2_G2 = KernelCurve2("g2", 6)  # split scratch parts dodge the Mosaic ceiling
+# G2 cap is c=5: the 16MB VMEM budget is TOTAL (hardware-measured via the
+# compiler's scoped-vmem error), and the G2 mixed-add kernel body needs
+# ~7-8MB of scoped stack on top of the bucket scratch — c=6's 12.16MB
+# scratch overflows by 4.18MB even split into parts. (A two-pass
+# bucket-half grid would fit but costs 2x the kernel passes, losing to
+# c=5 outright: 86 vs 52 window-passes.)
+KC2_G2 = KernelCurve2("g2", 5)
 
 
 def _kernel_curve2(curve: CurveOps) -> KernelCurve2:
@@ -433,8 +439,9 @@ def _batch_inverse(z, n: int):
     S = z[0].shape[0]
     if S <= 16:  # <= 2048 elements: Fermat at the root
         return _fermat_inv(z)
-    g = 64
-    assert S % g == 0, "batch rows must be divisible by the block factor"
+    g = next((cand for cand in (64, 32, 16, 8, 4, 2) if S % cand == 0), None)
+    if g is None:  # odd row count (never on TILE-padded inputs): Fermat
+        return _fermat_inv(z)
     m = S // g
     rows = [x.reshape(g, m, 128) for x in z]
     one = LG.FP_LAZY.one([rows[0][0]])
@@ -684,10 +691,50 @@ def _finish(ws_stacked, *, kc: KernelCurve2, c: int):
     return _to_strict_stacked(acc, kc)
 
 
+@functools.partial(jax.jit, static_argnames=("kc",))
+def _egress_wsums(ws_stacked, *, kc: KernelCurve2):
+    """Stacked lazy window sums (n_fp*ELEM, W) -> strict canonical
+    projective coords (n_fp, 24, W), one program."""
+    return _to_strict_stacked(kc.unstack_point(ws_stacked), kc)
+
+
+def _finish_host(ws_stacked, kc: KernelCurve2, c: int):
+    """Host-side Horner over the W window sums. The reference's window
+    reduction is host-side too (/root/reference/src/gpu.rs:193-209); here
+    it saves ~90 ms per MSM: the on-device scan runs ~W*(c+1) sequential
+    group ops on a batch of ONE (pure dispatch latency), while the host
+    does the same ~300 ops on Python ints in ~10 ms after a single
+    W-point egress program + one tiny fetch."""
+    from ..oracle import curve as OC
+    from ..ops import convert as CV
+
+    arr = _call(_egress_wsums, ws_stacked, kc=kc)
+    if kc.name == "g2":
+        pts = CV.g2_from_dev(((arr[0], arr[1]), (arr[2], arr[3]), (arr[4], arr[5])))
+        ops, to_dev = OC.FP2_OPS, CV.g2_to_dev
+    else:
+        pts = CV.g1_from_dev((arr[0], arr[1], arr[2]))
+        ops, to_dev = OC.FP_OPS, CV.g1_to_dev
+    total = None
+    for w in range(len(pts) - 1, -1, -1):
+        if total is not None:
+            for _ in range(c):
+                total = OC.double(ops, total)
+        total = OC.add(ops, total, pts[w])
+    out = to_dev([total])
+    return _stack_strict(out, kc)
+
+
+def _stack_strict(leaves, kc: KernelCurve2):
+    if kc.name == "g2":
+        return jnp.stack([leaves[i][j] for i in range(3) for j in range(2)])
+    return jnp.stack(list(leaves))
+
+
 def _finish_any(ws_stacked, kc: KernelCurve2, c: int):
     if _eager():
         return _finish_eager(ws_stacked, kc, c)
-    return _finish(ws_stacked, kc=kc, c=c)
+    return _finish_host(ws_stacked, kc, c)
 
 
 def _finish_eager(ws_stacked, kc: KernelCurve2, c: int):
@@ -780,17 +827,18 @@ def msm_pallas2(points, scalars, curve: CurveOps = G1, c: int | None = None,
     consumers. `maybe_abort`: zero-arg callable polled between chunk
     dispatches (ec-gpu's cancellation hook, /root/reference/src/gpu.rs:58,133-137).
     """
-    from .msm_pallas import MsmAborted
+    from .msm import MsmAborted
 
     kc = _kernel_curve2(curve)
     if c is None:
         c = kc.c_default
     if c < 2:
         raise ValueError(f"MSM window c must be >= 2, got {c}")
-    # clear failure for oversized windows instead of an opaque Mosaic error:
-    # each scratch part stays under PART_BYTES; the empirical total-VMEM
-    # ceiling still binds around ~13MB of bucket scratch
-    assert _num_buckets(c) * kc.pt_rows * TILE * 4 <= 13_000_000, (
+    # clear failure for oversized windows instead of an opaque compiler
+    # error: the 16MB VMEM budget is TOTAL (scratch + kernel-body scoped
+    # stack); ~12MB of bucket scratch is the empirical ceiling (G1 c=7 at
+    # 11.98MB compiles + runs; G2 c=6 at 12.16MB overflows by 4.18MB)
+    assert _num_buckets(c) * kc.pt_rows * TILE * 4 <= 12_000_000, (
         f"c={c} bucket scratch exceeds the VMEM budget for {kc.name}"
     )
     n = scalars.shape[-1]

@@ -332,16 +332,26 @@ def multi_miller_loop(p, q, p_inf=None, q_inf=None, fuse=None, engine=None):
     T = _tower(engine)
     px, py = p
     n = px.shape[-1]
+    flat = T is TL and px.ndim == 2
+    pad_mask = None
+    if flat:
+        p, q, p_inf, q_inf, pad_mask, n2 = _tile_pad_inputs(
+            p, q, p_inf, q_inf, n
+        )
+    else:
+        n2 = n
     coeffs = prepare_g2(q, fuse, engine)
     f = miller_loop(p, coeffs, fuse, engine)
-    skip = None
+    skip = pad_mask  # padded pairs contribute one to the product
     if p_inf is not None:
-        skip = p_inf
+        skip = p_inf if skip is None else (skip | p_inf)
     if q_inf is not None:
         skip = q_inf if skip is None else (skip | q_inf)
     if skip is not None:
-        f = T.select(skip, T.fp12_one((n,)), f)
-    return _egress(T, _fold_mul(T, f, n))
+        f = T.select(skip, T.fp12_one(p[0].shape[1:]), f)
+    if flat:
+        f = jax.tree.map(lambda x: x.reshape(x.shape[0], n2), f)
+    return _egress(T, _fold_mul(T, f, n2))
 
 
 def _to2d(arr):
@@ -360,6 +370,28 @@ def _pad128(arr, n2):
     return jnp.pad(arr, pad, mode="edge")
 
 
+def _tile_pad_inputs(p, q, p_inf, q_inf, n):
+    """Lazy-path batch prep: pad the batch to a TILE (1024) multiple and
+    reshape to (., S, 128). The Pallas multiply blocks (8, 128) rows; any
+    smaller/1-D batch would fall back to the per-digit XLA trace (~919K
+    statements — un-compilable on the remote helper). Returns
+    (p, q, p_inf, q_inf, pad_mask, n2); pad_mask marks padded entries."""
+    n2 = -(-n // 1024) * 1024
+    p = (_to2d(_pad128(p[0], n2)), _to2d(_pad128(p[1], n2)))
+    q = tuple(
+        (_to2d(_pad128(c[0], n2)), _to2d(_pad128(c[1], n2))) for c in q
+    )
+    sh = (n2 // 128, 128)
+    if p_inf is not None:
+        p_inf = _pad128(p_inf, n2).reshape(sh)
+    if q_inf is not None:
+        q_inf = _pad128(q_inf, n2).reshape(sh)
+    pad_mask = (
+        (jnp.arange(n2) >= n).reshape(sh) if n2 != n else None
+    )
+    return p, q, p_inf, q_inf, pad_mask, n2
+
+
 def pairing(p, q, p_inf=None, q_inf=None, fuse=None, engine=None):
     """Batched full pairing e(P_i, Q_i) elementwise (no product reduction):
     returns a STRICT fp12 batch shaped like the inputs. Identity inputs
@@ -372,15 +404,7 @@ def pairing(p, q, p_inf=None, q_inf=None, fuse=None, engine=None):
     # path would only get 64x more work from padding tiny test batches
     flat = T is TL and p[0].ndim == 2
     if flat:
-        n2 = -(-n // 128) * 128  # pad so the 2-D fast path always applies
-        p = (_to2d(_pad128(p[0], n2)), _to2d(_pad128(p[1], n2)))
-        q = tuple(
-            (_to2d(_pad128(c[0], n2)), _to2d(_pad128(c[1], n2))) for c in q
-        )
-        if p_inf is not None:
-            p_inf = _pad128(p_inf, n2).reshape(n2 // 128, 128)
-        if q_inf is not None:
-            q_inf = _pad128(q_inf, n2).reshape(n2 // 128, 128)
+        p, q, p_inf, q_inf, _, n2 = _tile_pad_inputs(p, q, p_inf, q_inf, n)
     coeffs = prepare_g2(q, fuse, engine)
     f = miller_loop(p, coeffs, fuse, engine)
     skip = None
@@ -434,8 +458,15 @@ def prepare_g2_device(q, q_inf=None, fuse=None, engine=None):
     (prepare once, pair many — the reuse the round-3 device path rejected)."""
     if engine is None:
         engine = "lazy" if jax.default_backend() == "tpu" else "strict"
-    coeffs = prepare_g2(q, fuse, engine)
     n = q[0][0].shape[-1]
+    if engine == "lazy" and q[0][0].ndim == 2:
+        dummy_p = (q[0][0], q[0][0])
+        _, q, _, q_inf, pad_mask, _ = _tile_pad_inputs(
+            dummy_p, q, None, q_inf, n
+        )
+        if pad_mask is not None:
+            q_inf = pad_mask if q_inf is None else (q_inf | pad_mask)
+    coeffs = prepare_g2(q, fuse, engine)
     return DeviceG2Prepared(engine, stack_coeffs(coeffs), q_inf, n)
 
 
@@ -443,6 +474,12 @@ def pairing_prepared(p, prepared: DeviceG2Prepared, p_inf=None, fuse=None):
     """Batched elementwise pairing against precomputed line coefficients:
     skips the ~40% of the Miller-loop work that prepare_g2 performs."""
     T = _tower(prepared.engine)
+    n = p[0].shape[-1]
+    assert n == prepared.n, "prepared batch size mismatch"
+    flat = T is TL and p[0].ndim == 2
+    if flat:
+        qd = ((p[0], p[0]), (p[0], p[0]))  # placeholder, shapes only
+        p, _, p_inf, _, _, n2 = _tile_pad_inputs(p, qd, p_inf, None, n)
     coeffs = unstack_coeffs(prepared.stacked, prepared.engine)
     f = miller_loop(p, coeffs, fuse, prepared.engine)
     skip = None
@@ -452,24 +489,38 @@ def pairing_prepared(p, prepared: DeviceG2Prepared, p_inf=None, fuse=None):
         skip = prepared.q_inf if skip is None else (skip | prepared.q_inf)
     if skip is not None:
         f = T.select(skip, T.fp12_one(p[0].shape[1:]), f)
-    return _egress(T, final_exp(f, fuse, prepared.engine))
+    out = _egress(T, final_exp(f, fuse, prepared.engine))
+    if flat:
+        out = jax.tree.map(lambda x: x.reshape(x.shape[0], -1)[:, :n], out)
+    return out
 
 
 def multi_miller_loop_prepared(p, prepared: DeviceG2Prepared, p_inf=None,
                                fuse=None):
-    """multi_miller_loop against precomputed coefficients (product form)."""
+    """multi_miller_loop against precomputed coefficients (product form).
+    Padded entries (lazy path) are covered by the prepared q_inf mask."""
     T = _tower(prepared.engine)
     n = p[0].shape[-1]
+    assert n == prepared.n, "prepared batch size mismatch"
+    flat = T is TL and p[0].ndim == 2
+    pad_mask = None
+    if flat:
+        qd = ((p[0], p[0]), (p[0], p[0]))
+        p, _, p_inf, _, pad_mask, n2 = _tile_pad_inputs(p, qd, p_inf, None, n)
+    else:
+        n2 = n
     coeffs = unstack_coeffs(prepared.stacked, prepared.engine)
     f = miller_loop(p, coeffs, fuse, prepared.engine)
-    skip = None
+    skip = pad_mask
     if p_inf is not None:
-        skip = p_inf
+        skip = p_inf if skip is None else (skip | p_inf)
     if prepared.q_inf is not None:
         skip = prepared.q_inf if skip is None else (skip | prepared.q_inf)
     if skip is not None:
-        f = T.select(skip, T.fp12_one((n,)), f)
-    return _egress(T, _fold_mul(T, f, n))
+        f = T.select(skip, T.fp12_one(p[0].shape[1:]), f)
+    if flat:
+        f = jax.tree.map(lambda x: x.reshape(x.shape[0], n2), f)
+    return _egress(T, _fold_mul(T, f, n2))
 
 
 # --- sharded multi-pairing ------------------------------------------------------

@@ -87,7 +87,8 @@ def main():
 
     print("v2 lazy-kernel MSM speed-of-light model (single v5e chip)")
     print(f"VPU ceiling {VPU_CEILING:.2e} eops/s; measured sustained {VPU_MEASURED:.2e}")
-    for kind, c in (("g1", 7), ("g1", 6), ("g2", 6), ("g2", 5)):
+    # g2 c=6 is VMEM-infeasible (16MB total budget; see msm_pallas2.KC2_G2)
+    for kind, c in (("g1", 7), ("g1", 6), ("g2", 5)):
         add_ops = int(count_add_ops(kind))
         kc = MP2.KC2_G1 if kind == "g1" else MP2.KC2_G2
         B = MP2._num_buckets(c)

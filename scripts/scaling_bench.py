@@ -1,16 +1,20 @@
 """Multi-chip scaling-efficiency harness (SURVEY §2d / BASELINE scaling row).
 
-Measures the FAST sharded path (msm_pallas2.msm_sharded2: the v2 lazy
-VMEM-bucket kernel inside shard_map, interpret-mode off-TPU) wall time and
-per-device throughput on a virtual CPU mesh of 1/2/4/8 devices (the
-multi-node-without-a-cluster strategy of SURVEY §4), printing a scaling
-table. Absolute numbers on XLA:CPU are meaningless; the point is the
-COLLECTIVE overhead profile: points are sharded, each device reduces its
-shard to stacked window sums, and the cross-device combine is one tiny
-gather — so efficiency should stay near 1 as devices double.
+Measures the sharded MSM wall time and per-device throughput on a virtual
+CPU mesh of 1/2/4/8 devices (the multi-node-without-a-cluster strategy of
+SURVEY §4), printing a scaling table and writing SCALING_r04.json.
 
-On a real multi-chip slice the same entry point shards over ICI; run there
-unchanged (drop the env overrides).
+Off-TPU this drives the SCAN-based sharded pipeline (curves/msm.msm_sharded,
+full 255-bit schedule): a compiled XLA program whose runtime actually
+reflects the sharding overheads. (The fast-kernel path, msm_sharded2, only
+runs interpret-mode off-TPU — a Python emulator whose hours-long runtime
+measures the emulator, not the program; its full schedule is exercised on
+hardware in tests/test_tpu_lane.py.) Absolute XLA:CPU numbers are
+meaningless; the point is the COLLECTIVE overhead profile: points are
+sharded, each device reduces its shard to window sums, and the cross-device
+combine is one tiny gather — efficiency should stay near 1 as devices
+double. On a real multi-chip slice run unchanged (drop the env overrides);
+backend="pallas" then selects the fast kernel per device.
 
 Usage: python scripts/scaling_bench.py [log2_n]
 """
@@ -46,35 +50,36 @@ from ark_blst_tpu.ops import convert as CV
 
 
 def main(log2n=13):
-    from ark_blst_tpu.curves import msm_pallas2 as MP2
+    import json
 
-    if jax.default_backend() != "tpu":
-        MP2.INTERPRET = True  # CPU mesh: kernel runs interpreted
+    from ark_blst_tpu import distributed as DIST
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "scan"
     n = 1 << log2n
     rng = random.Random(13)
     base = [OC.g1_mul(OF.G1_GEN, rng.randrange(1, OF.R)) for _ in range(32)]
     pts = [base[i % 32] for i in range(n)]
-    # small scalars so max_windows=2 keeps the off-TPU interpret run sane;
-    # on a real slice drop max_windows for full 255-bit scalars
-    mw = None if jax.default_backend() == "tpu" else 2
-    scs = [rng.randrange(OF.R if mw is None else 1 << 4) for _ in range(n)]
+    scs = [rng.randrange(OF.R) for _ in range(n)]  # full 255-bit schedule
     points = CV.g1_to_dev(pts)
     scalars = CV.fr_to_dev(scs)
 
     expected = None
     rows = []
     for ndev in (1, 2, 4, 8):
+        if ndev > len(jax.devices()):
+            break
         mesh = jax.sharding.Mesh(np.array(jax.devices()[:ndev]), ("data",))
         t0 = time.perf_counter()
-        out = MP2.msm_sharded2(points, scalars, mesh, curve=G1, c=4,
-                               max_windows=mw)
+        out = DIST.msm_distributed(points, scalars, curve=G1, mesh=mesh,
+                                   backend=backend, c=8, lanes=32)
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
         reps = 2
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = MP2.msm_sharded2(points, scalars, mesh, curve=G1, c=4,
-                                   max_windows=mw)
+            out = DIST.msm_distributed(points, scalars, curve=G1, mesh=mesh,
+                                       backend=backend, c=8, lanes=32)
             jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         got = CV.g1_from_dev(out)
@@ -82,13 +87,33 @@ def main(log2n=13):
             expected = OC.msm(OC.FP_OPS, pts, scs)
         assert got == [expected], f"mismatch at ndev={ndev}"
         rows.append((ndev, dt, n / dt, compile_s))
+        print(f"ndev={ndev}: {dt*1e3:.1f} ms", flush=True)
 
     base_t = rows[0][1]
-    print(f"\nG1 MSM 2^{log2n} scaling on virtual CPU mesh (correctness-checked):")
+    print(f"\nG1 MSM 2^{log2n} scaling on "
+          f"{'TPU slice' if on_tpu else 'virtual CPU mesh'} "
+          f"({backend} path, full 255-bit schedule, correctness-checked):")
     print(f"{'devices':>8} {'ms':>10} {'points/s':>12} {'speedup':>8} {'efficiency':>10}")
+    table = []
     for ndev, dt, pps, _ in rows:
         sp = base_t / dt
         print(f"{ndev:>8} {dt*1e3:>10.1f} {pps:>12,.0f} {sp:>8.2f} {sp/ndev:>10.2f}")
+        table.append({
+            "devices": ndev, "ms": round(dt * 1e3, 1),
+            "points_per_s": round(pps), "speedup": round(sp, 3),
+            "efficiency": round(sp / ndev, 3),
+        })
+    out_path = os.path.join(os.path.dirname(__file__), "..", "SCALING_r04.json")
+    with open(out_path, "w") as f:
+        json.dump({
+            "workload": f"G1 MSM 2^{log2n}, full 255-bit schedule",
+            "backend": backend,
+            "platform": jax.default_backend(),
+            "note": "virtual CPU mesh: absolute rates meaningless; the "
+                    "efficiency column is the collective-overhead profile",
+            "rows": table,
+        }, f, indent=1)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

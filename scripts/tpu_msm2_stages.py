@@ -81,7 +81,7 @@ def main():
     dump, dt_kern = timed("kernel", MP2._accumulate2, pa, da, kc=kc, c=c)
     ws, dt_red = timed("reduce", MP2._reduce_dump, dump, kc=kc,
                        B=MP2._num_buckets(c))
-    out, dt_fin = timed("finish", MP2._finish, ws, kc=kc, c=c)
+    out, dt_fin = timed("finish", lambda w: MP2._finish_host(w, kc, c), ws)
     out = MP2._unstack_strict(out, kc)
 
     total = dt_prep + dt_kern + dt_red + dt_fin

@@ -111,3 +111,64 @@ def test_window_digits_signed_reconstruct():
                 assert mag <= 1 << (c - 1)
                 total += (-mag if sign else mag) << (c * j)
             assert total == s % OF.R, (c, i)  # fr_to_dev reduces mod r
+
+
+def _fake_v2_stages(monkeypatch, calls):
+    """Linear fake of the v2 chunk stages (sums of scalar limb 0) so the
+    chunk slicing/accumulation/abort logic is testable without the kernel."""
+    import jax.numpy as jnp
+
+    from ark_blst_tpu.curves import msm_pallas2 as MP2
+
+    def fake_ws(points, scalars, curve, c, max_windows=None):
+        calls.append(scalars.shape)
+        return jnp.sum(scalars[0].astype(jnp.uint64))
+
+    def fake_add(t, w, kc=None):
+        return t + w
+
+    fake_add.__wrapped__ = fake_add
+    monkeypatch.setattr(MP2, "_window_sums2", fake_ws)
+    monkeypatch.setattr(MP2, "_add_wsums2", fake_add)
+    monkeypatch.setattr(MP2, "_finish_any", lambda t, kc, c: t)
+    monkeypatch.setattr(MP2, "_unstack_strict", lambda o, kc: o)
+
+
+def test_v2_chunked_slicing_and_accumulation(monkeypatch):
+    import jax.numpy as jnp
+
+    from ark_blst_tpu.curves import msm_pallas2 as MP2
+    from ark_blst_tpu.curves.group import G1 as G1OPS
+
+    calls = []
+    _fake_v2_stages(monkeypatch, calls)
+    n = 3 * MP2.TILE + 5  # pads to 4 chunks of TILE
+    pts = G1OPS.identity((n,))
+    scs = jnp.zeros((16, n), jnp.uint32).at[0].set(
+        jnp.arange(n, dtype=jnp.uint32)
+    )
+    out = MP2.msm_pallas2(pts, scs, curve=G1OPS, c=6, chunk=MP2.TILE)
+    assert len(calls) == 4 and all(s == (16, MP2.TILE) for s in calls)
+    assert int(out) == n * (n - 1) // 2  # padding contributed zeros
+
+
+def test_v2_chunked_maybe_abort(monkeypatch):
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from ark_blst_tpu.curves import msm_pallas2 as MP2
+    from ark_blst_tpu.curves.group import G1 as G1OPS
+    from ark_blst_tpu.curves.msm import MsmAborted
+
+    calls = []
+    _fake_v2_stages(monkeypatch, calls)
+    n = 4 * MP2.TILE
+    pts = G1OPS.identity((n,))
+    scs = jnp.zeros((16, n), jnp.uint32)
+    fired = iter([False, False, True])
+    with _pytest.raises(MsmAborted):
+        MP2.msm_pallas2(
+            pts, scs, curve=G1OPS, c=6, chunk=MP2.TILE,
+            maybe_abort=lambda: next(fired),
+        )
+    assert len(calls) == 2  # aborted before the third dispatch

@@ -166,60 +166,3 @@ def test_bucket_accumulate_shapes_trace():
 # by a cheap linear fake; numeric chunked-vs-single equality runs on
 # hardware via tests/test_tpu_lane.py::test_msm_pallas2_chunked_equals_single.
 # `plan_chunk` is pure logic.
-
-from ark_blst_tpu.curves import msm_pallas as MP
-
-
-def test_plan_chunk_budget():
-    for kc in (MP.KC_G1, MP.KC_G2):
-        for c in (5, 6):
-            chunk = MP.plan_chunk(kc, c, True, hbm_budget_bytes=8 << 30)
-            assert chunk % MP.TILE == 0 and chunk >= MP.TILE
-            W, B = MP._num_windows(c, True), MP._num_buckets(c, True)
-            fixed = 2 * W * B * kc.rows * MP.TILE * 4
-            per_point = 2 * kc.rows * 4 + W * 4
-            assert fixed + chunk * per_point <= 8 << 30
-            # doubling must NOT fit (maximality)
-            assert fixed + 2 * chunk * per_point > 8 << 30
-    # tighter budget -> smaller or equal chunk
-    small = MP.plan_chunk(MP.KC_G1, 6, True, hbm_budget_bytes=1 << 30)
-    big = MP.plan_chunk(MP.KC_G1, 6, True, hbm_budget_bytes=8 << 30)
-    assert small <= big
-
-
-def _fake_stages(monkeypatch, calls):
-    """Replace the kernel/fold stages with a linear fake over scalar limb 0:
-    window sums 'tree' = per-chunk limb sums; accumulation = +; horner = id."""
-    def fake_ws(points, scalars, curve, c, max_windows, signed):
-        calls.append(scalars.shape)
-        return jnp.sum(scalars[0].astype(jnp.uint64))
-
-    monkeypatch.setattr(MP, "_window_sums_jit", fake_ws)
-    monkeypatch.setattr(MP, "_add_wsums", lambda t, w, curve: t + w)
-    monkeypatch.setattr(MP, "_horner_jit", lambda t, curve, c: t)
-
-
-def test_chunked_slicing_and_accumulation(monkeypatch):
-    calls = []
-    _fake_stages(monkeypatch, calls)
-    n = 3 * MP.TILE + 5  # pads to 4 chunks of TILE
-    pts = G1.identity((n,))
-    scs = jnp.zeros((16, n), jnp.uint32).at[0].set(jnp.arange(n, dtype=jnp.uint32))
-    out = MP.msm_pallas_chunked(pts, scs, curve=G1, c=6, chunk=MP.TILE)
-    assert len(calls) == 4 and all(s == (16, MP.TILE) for s in calls)
-    assert int(out) == n * (n - 1) // 2  # padding contributed zeros
-
-
-def test_chunked_maybe_abort(monkeypatch):
-    calls = []
-    _fake_stages(monkeypatch, calls)
-    n = 4 * MP.TILE
-    pts = G1.identity((n,))
-    scs = jnp.zeros((16, n), jnp.uint32)
-    fired = iter([False, False, True])
-    with pytest.raises(MP.MsmAborted):
-        MP.msm_pallas_chunked(
-            pts, scs, curve=G1, c=6, chunk=MP.TILE,
-            maybe_abort=lambda: next(fired),
-        )
-    assert len(calls) == 2  # aborted before the third dispatch
