@@ -183,7 +183,7 @@ def bench_pairing():
     from ark_blst_tpu.ops import convert as CV
 
     rng = random.Random(3)
-    n = 1024
+    n = 8192
     ps = [OC.g1_mul(OF.G1_GEN, rng.randrange(1, OF.R)) for _ in range(8)]
     qs = [OC.g2_mul(OF.G2_GEN, rng.randrange(1, OF.R)) for _ in range(8)]
     ps = [ps[i % 8] for i in range(n)]

@@ -4,17 +4,14 @@ Measures the sharded MSM wall time and per-device throughput on a virtual
 CPU mesh of 1/2/4/8 devices (the multi-node-without-a-cluster strategy of
 SURVEY §4), printing a scaling table and writing SCALING_r04.json.
 
-Off-TPU this drives the SCAN-based sharded pipeline (curves/msm.msm_sharded,
-full 255-bit schedule): a compiled XLA program whose runtime actually
-reflects the sharding overheads. (The fast-kernel path, msm_sharded2, only
-runs interpret-mode off-TPU — a Python emulator whose hours-long runtime
-measures the emulator, not the program; its full schedule is exercised on
-hardware in tests/test_tpu_lane.py.) Absolute XLA:CPU numbers are
+Off-TPU this drives the fast-kernel sharded path (msm_pallas2.msm_sharded2)
+in interpret mode with a truncated window schedule (the full schedule runs
+on hardware in tests/test_tpu_lane.py). Absolute XLA:CPU numbers are
 meaningless; the point is the COLLECTIVE overhead profile: points are
 sharded, each device reduces its shard to window sums, and the cross-device
 combine is one tiny gather — efficiency should stay near 1 as devices
-double. On a real multi-chip slice run unchanged (drop the env overrides);
-backend="pallas" then selects the fast kernel per device.
+double. On a real multi-chip slice run unchanged (drop the env overrides)
+for full 255-bit scalars on the real kernel.
 
 Usage: python scripts/scaling_bench.py [log2_n]
 """
@@ -54,13 +51,19 @@ def main(log2n=13):
 
     from ark_blst_tpu import distributed as DIST
 
+    from ark_blst_tpu.curves import msm_pallas2 as MP2
+
     on_tpu = jax.default_backend() == "tpu"
-    backend = "pallas" if on_tpu else "scan"
+    if not on_tpu:
+        MP2.INTERPRET = True  # CPU mesh: the kernel runs interpreted
     n = 1 << log2n
     rng = random.Random(13)
     base = [OC.g1_mul(OF.G1_GEN, rng.randrange(1, OF.R)) for _ in range(32)]
     pts = [base[i % 32] for i in range(n)]
-    scs = [rng.randrange(OF.R) for _ in range(n)]  # full 255-bit schedule
+    # full scalars on hardware; truncated windows off-TPU (interpret cost)
+    mw = None if on_tpu else 2
+    c = None if on_tpu else 4
+    scs = [rng.randrange(OF.R if on_tpu else 1 << 4) for _ in range(n)]
     points = CV.g1_to_dev(pts)
     scalars = CV.fr_to_dev(scs)
 
@@ -71,15 +74,15 @@ def main(log2n=13):
             break
         mesh = jax.sharding.Mesh(np.array(jax.devices()[:ndev]), ("data",))
         t0 = time.perf_counter()
-        out = DIST.msm_distributed(points, scalars, curve=G1, mesh=mesh,
-                                   backend=backend, c=8, lanes=32)
+        out = MP2.msm_sharded2(points, scalars, mesh, curve=G1, c=c,
+                               max_windows=mw)
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
-        reps = 2
+        reps = 2 if on_tpu else 1
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = DIST.msm_distributed(points, scalars, curve=G1, mesh=mesh,
-                                       backend=backend, c=8, lanes=32)
+            out = MP2.msm_sharded2(points, scalars, mesh, curve=G1, c=c,
+                                   max_windows=mw)
             jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         got = CV.g1_from_dev(out)
@@ -87,12 +90,13 @@ def main(log2n=13):
             expected = OC.msm(OC.FP_OPS, pts, scs)
         assert got == [expected], f"mismatch at ndev={ndev}"
         rows.append((ndev, dt, n / dt, compile_s))
-        print(f"ndev={ndev}: {dt*1e3:.1f} ms", flush=True)
+        print(f"ndev={ndev}: {dt*1e3:.1f} ms (compile+first {compile_s:.1f}s)",
+              flush=True)
 
     base_t = rows[0][1]
     print(f"\nG1 MSM 2^{log2n} scaling on "
           f"{'TPU slice' if on_tpu else 'virtual CPU mesh'} "
-          f"({backend} path, full 255-bit schedule, correctness-checked):")
+          f"(v2 kernel path, correctness-checked):")
     print(f"{'devices':>8} {'ms':>10} {'points/s':>12} {'speedup':>8} {'efficiency':>10}")
     table = []
     for ndev, dt, pps, _ in rows:
@@ -106,8 +110,10 @@ def main(log2n=13):
     out_path = os.path.join(os.path.dirname(__file__), "..", "SCALING_r04.json")
     with open(out_path, "w") as f:
         json.dump({
-            "workload": f"G1 MSM 2^{log2n}, full 255-bit schedule",
-            "backend": backend,
+            "workload": f"G1 MSM 2^{log2n}"
+                        + ("" if on_tpu else ", truncated 8-bit schedule"),
+            "backend": "msm_sharded2 (v2 kernel"
+                       + ("" if on_tpu else ", interpret") + ")",
             "platform": jax.default_backend(),
             "note": "virtual CPU mesh: absolute rates meaningless; the "
                     "efficiency column is the collective-overhead profile",

@@ -13,8 +13,8 @@ flats. Coverage here is two-tier:
   ops is prohibitively slow on CPU (hundreds of interpreted kernel calls),
   and the bug class lives in shape handling, which tracing exercises fully.
 
-The real-hardware execution lane is scripts/tpu_pallas_msm.py and
-tests/test_tpu_lane.py (ARK_TPU_TESTS=1).
+The real-hardware execution lane is tests/test_tpu_lane.py
+(ARK_TPU_TESTS=1).
 """
 
 import random
