@@ -205,7 +205,31 @@ def bench_pairing():
     dt = (time.perf_counter() - t0) / reps
     got = CV.fp12_from_dev(out)
     assert got[0] == OP.pairing(ps[0], qs[0]), "pairing mismatch vs oracle"
-    return n, dt, n / dt
+
+    # prepared-reuse row: precompute the G2 line coefficients once, pair
+    # many times (the amortization that is G2Prepared's whole point,
+    # /root/reference/src/g2.rs:650-694)
+    prep = DP.prepare_g2_device(qdev, fuse=True)
+
+    def fnp(p, stacked):
+        prep2 = DP.DeviceG2Prepared(prep.engine, stacked, prep.q_inf, prep.n)
+        return DP.pairing_prepared(p, prep2, fuse=True)
+
+    jfnp = jax.jit(fnp)
+
+    def runp():
+        out = jfnp(pdev, prep.stacked)
+        np.asarray(out[0][0][0][:, :1])
+        return out
+
+    outp = runp()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        outp = runp()
+    dtp = (time.perf_counter() - t0) / reps
+    gotp = CV.fp12_from_dev(outp)
+    assert gotp[0] == got[0], "prepared pairing mismatch"
+    return n, dt, n / dt, n / dtp
 
 
 def bench_fpmul():
@@ -268,8 +292,9 @@ def main():
                     extra["g2_msm_points_per_s_2^%d" % g2_logn] = round(g2_pps, 1)
                     extra["g2_msm_ms"] = round(g2_dt * 1e3, 1)
                 elif name == "pairing":
-                    pn, pdt, ppps = fn()
+                    pn, pdt, ppps, prep_pps = fn()
                     extra["pairings_per_s_batch%d" % pn] = round(ppps, 1)
+                    extra["pairings_prepared_per_s"] = round(prep_pps, 1)
                 elif name == "fp_mul":
                     extra["fp_mont_mul_per_s"] = round(fn(), 1)
             except Exception as e:  # noqa: BLE001 — record, don't kill headline
