@@ -250,6 +250,28 @@ class Fp(_FieldElement):
             raise ValueError("value out of range for Fp")
         return cls(v)
 
+    @classmethod
+    def from_random_bytes_with_flags(cls, data: bytes, flag_bit_mask: int = 0):
+        """Arkworks generic-Fp semantics (the reference leaves this
+        `unimplemented!()`, /root/reference/src/fp.rs:568-579): zero-pad to
+        the 48-byte serialized size, read flags from the fixed last byte,
+        shave the bits at and above MODULUS_BIT_SIZE (bit 381), and return
+        (Fp, flags) iff the remaining value is canonical."""
+        if len(data) > 48:
+            return None
+        raw = bytearray(bytes(data).ljust(48, b"\x00"))
+        flags = raw[47] & flag_bit_mask
+        raw[47] &= (0xFF ^ flag_bit_mask) & 0x1F  # keep bits 376..380
+        v = int.from_bytes(bytes(raw), "little")
+        if v >= OF.P:
+            return None
+        return cls(v), flags
+
+    @classmethod
+    def from_random_bytes(cls, data: bytes):
+        out = cls.from_random_bytes_with_flags(data, 0)
+        return out[0] if out else None
+
 
 # --- Scalar (Fr) -----------------------------------------------------------------
 

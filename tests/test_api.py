@@ -464,3 +464,19 @@ def test_msm_rejects_tiny_window():
 
     with _pytest.raises(ValueError):
         G1Projective.msm([G1Affine.generator()], [Scalar(1)], c=1)
+
+
+def test_fp_from_random_bytes():
+    """Fp::from_random_bytes is implemented with arkworks semantics (the
+    reference panics, /root/reference/src/fp.rs:568-579): shave bits >= 381,
+    flags at the fixed byte 47, empty input is zero."""
+    from ark_blst_tpu.fields import Fp
+    from ark_blst_tpu.oracle import field as OF
+
+    assert Fp.from_random_bytes(b"").v == 0
+    v = 77 | (1 << 381)  # bit 381 shaved before the canonicality check
+    assert Fp.from_random_bytes(v.to_bytes(48, "little")).v == 77
+    assert Fp.from_random_bytes((OF.P).to_bytes(48, "little")) is None
+    out = Fp.from_random_bytes_with_flags(b"\x09", 0xC0)
+    assert out is not None and out[0].v == 9 and out[1] == 0
+    assert Fp.from_random_bytes(b"\x00" * 49) is None
