@@ -513,19 +513,38 @@ def fp12_inv(a, fuse: bool = True):
 
 def fp12_mul_by_014_many(items):
     """[(f, c0, c1, c4)] -> f * ((c0 + c1 v) + (c4 v) w): the sparse line
-    multiplication of the Miller loop."""
-    aa = fp6_mul_by_01_many([(f[0], c0, c1) for f, c0, c1, c4 in items])
-    bb = fp6_mul_by_1_many([(f[1], c4) for f, c0, c1, c4 in items])
-    mid = fp6_mul_by_01_many(
-        [
-            (fp6_add(f[0], f[1]), c0, fp2_add(c1, c4))
-            for f, c0, c1, c4 in items
-        ]
-    )
+    multiplication of the Miller loop. All 15 fp2 products per item (the
+    aa/bb/mid sub-multiplies) ride ONE concatenated launch — the Miller
+    scan is latency-bound below ~2K batch, so launch count is the cost."""
+    legs = []
+    for f, c0, c1, c4 in items:
+        a0, a1, a2 = f[0]
+        legs += [(a0, c0), (a1, c0), (a2, c0), (a2, c1), (a0, c1), (a1, c1)]
+        b0, b1, b2 = f[1]
+        legs += [(b2, c4), (b0, c4), (b1, c4)]
+        s0, s1, s2 = fp6_add(f[0], f[1])
+        c14 = fp2_add(c1, c4)
+        legs += [(s0, c0), (s1, c0), (s2, c0), (s2, c14), (s0, c14), (s1, c14)]
+    prods = fp2_mul_many(legs)
     out = []
     for i in range(len(items)):
-        nf1 = fp6_sub(fp6_sub(mid[i], aa[i]), bb[i])
-        nf0 = fp6_add(fp6_mul_by_nonresidue(bb[i]), aa[i])
+        t = prods[15 * i : 15 * i + 15]
+        t00, t10, t20, t21, t01, t11 = t[0:6]
+        aa = (
+            fp2_add(t00, fp2_mul_by_nonresidue(t21)),
+            fp2_add(t01, t10),
+            fp2_add(t11, t20),
+        )
+        m2, m0, m1 = t[6:9]
+        bb = (fp2_mul_by_nonresidue(m2), m0, m1)
+        u00, u10, u20, u21, u01, u11 = t[9:15]
+        mid = (
+            fp2_add(u00, fp2_mul_by_nonresidue(u21)),
+            fp2_add(u01, u10),
+            fp2_add(u11, u20),
+        )
+        nf1 = fp6_sub(fp6_sub(mid, aa), bb)
+        nf0 = fp6_add(fp6_mul_by_nonresidue(bb), aa)
         out.append((nf0, nf1))
     return out
 
