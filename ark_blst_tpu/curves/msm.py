@@ -222,7 +222,10 @@ def _bucket_reduce(curve: CurveOps, buckets, fuse: bool = True):
 
 def _horner(curve: CurveOps, window_sums, c: int, fuse: bool = True):
     """(W,) window sums -> scalar result point: res = sum_w S_w << (c*w).
-    A scan over windows (MSB first) keeps the trace one body long."""
+    A scan over windows (MSB first) keeps the trace one body long; the c
+    doublings inside the body sit in a `fori_loop` so the traced body is
+    ONE double + ONE add regardless of the window size (the doubling
+    unroll was ~40% of the whole sharded-MSM compile on XLA:CPU)."""
     # (..., W) -> (W, ..., 1) MSB-first for scanning.
     seq = jax.tree.map(
         lambda x: jnp.moveaxis(x, -1, 0)[::-1][..., None], window_sums
@@ -230,8 +233,11 @@ def _horner(curve: CurveOps, window_sums, c: int, fuse: bool = True):
     W = (seq[0][0] if isinstance(seq[0], tuple) else seq[0]).shape[0]
 
     def body(acc, s_w):
-        for _ in range(c):
-            acc = curve.double(acc)
+        if fuse:
+            acc = lax.fori_loop(0, c, lambda _, p: curve.double(p), acc)
+        else:
+            for _ in range(c):
+                acc = curve.double(acc)
         return curve.add(acc, s_w)
 
     return _scan(body, curve.identity((1,)), seq, W, fuse)  # batch (1,)
@@ -341,8 +347,42 @@ class _VaryingCurve(CurveOps):
         return self.vary(CurveOps.identity(self, batch_shape))
 
 
+def _fold_leading_scan(curve: CurveOps, pt):
+    """Fold the leading batch axis with a lax.scan (ONE traced add body
+    regardless of the axis size — the unrolled log-depth tree costs one
+    compiled add body per level, which dominates XLA:CPU compile time for
+    device counts >= 4; at MSM scale the folded arrays are tiny so the
+    sequential steps are irrelevant)."""
+    first = jax.tree.map(lambda x: x[:, 0], pt)
+    rest = jax.tree.map(lambda x: jnp.moveaxis(x[:, 1:], 1, 0), pt)
+    acc, _ = lax.scan(lambda a, x: (curve.add(a, x), None), first, rest)
+    return acc
+
+
+def _horner_host(curve: CurveOps, window_sums, c: int):
+    """Host-side Horner over the W per-window sums — mirrors the production
+    TPU path's host finish (msm_pallas2._finish_host) and the reference's
+    own host-side window reduction (/root/reference/src/gpu.rs:193-209).
+    `window_sums`: strict-engine projective batch, leaves (L, W)."""
+    from ..ops import convert as CV
+    from ..oracle import curve as OC
+
+    if curve.name == "g2":
+        pts, ops, to_dev = CV.g2_from_dev(window_sums), OC.FP2_OPS, CV.g2_to_dev
+    else:
+        pts, ops, to_dev = CV.g1_from_dev(window_sums), OC.FP_OPS, CV.g1_to_dev
+    total = None
+    for w in range(len(pts) - 1, -1, -1):
+        if total is not None:
+            for _ in range(c):
+                total = OC.double(ops, total)
+        total = OC.add(ops, total, pts[w])
+    return to_dev([total])
+
+
 def msm_sharded(points, scalars, mesh: Mesh, curve: CurveOps = G1,
-                c: int = 8, lanes: int = 128, axis: str = "data"):
+                c: int = 8, lanes: int = 128, axis: str = "data",
+                finish: str = "device"):
     """Multi-chip MSM: points sharded over `mesh` axis `axis`; per-device
     bucket pipeline inside shard_map producing per-device window partials;
     cross-device fold + Horner outside (XLA inserts the gather over ICI).
@@ -350,6 +390,12 @@ def msm_sharded(points, scalars, mesh: Mesh, curve: CurveOps = G1,
     The multi-device axis the reference never built
     (/root/reference/src/gpu.rs:233-240 hardcodes one GPU and leaves
     chunking as a TODO).
+
+    finish: "device" = Horner inside the same jit program; "host" = the jit
+    program ends at the cross-device folded window sums and the W-step
+    Horner tail runs on host ints (production parity: the TPU kernel path
+    finishes on host too, msm_pallas2._finish_host — and on XLA:CPU it
+    drops the largest compile body from the cold-start path).
     """
     ndev = mesh.shape[axis]
 
@@ -364,18 +410,20 @@ def msm_sharded(points, scalars, mesh: Mesh, curve: CurveOps = G1,
 
     pspec = jax.tree.map(lambda _: P(None, axis), points)
 
-    @jax.jit
-    def run(points, scalars):
+    @functools.partial(jax.jit, static_argnames=("do_horner",))
+    def run(points, scalars, do_horner: bool):
         partials = jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(pspec, P(None, axis)),
             out_specs=jax.tree.map(lambda _: P(None, axis, None), points),
         )(points, scalars)  # leaves (L, ndev, W) — replicated after exit
-        folded = _fold_axis(curve, partials, ndev)  # batch (W,)
-        return _horner(curve, folded, c)
+        folded = _fold_leading_scan(curve, partials)  # batch (W,)
+        return _horner(curve, folded, c) if do_horner else folded
 
-    return run(points, scalars)
+    if finish == "host":
+        return _horner_host(curve, run(points, scalars, False), c)
+    return run(points, scalars, True)
 
 
 def msm_naive(points, scalars, curve: CurveOps = G1):
