@@ -59,7 +59,7 @@ def global_mesh(axis: str = "data") -> Mesh:
 def msm_distributed(points, scalars, curve: CurveOps = G1, c: int | None = None,
                     lanes: int = 128, mesh: Mesh | None = None,
                     axis: str = "data", backend: str | None = None,
-                    max_windows: int | None = None):
+                    max_windows: int | None = None, finish: str = "device"):
     """Pod-scale MSM: points sharded over the global mesh, per-device FAST
     v2 VMEM-bucket kernels (curves/msm_pallas2.msm_sharded2), per-device
     stacked window sums combined by a jitted log-depth fold, then Horner.
@@ -68,7 +68,9 @@ def msm_distributed(points, scalars, curve: CurveOps = G1, c: int | None = None,
 
     backend: None = auto (the v2 kernel path on TPU or under interpret-mode
     tests; the scan pipeline via curves/msm.msm_sharded otherwise),
-    "pallas" or "scan" to force. `lanes` applies only to the scan path."""
+    "pallas" or "scan" to force. `lanes` and `finish` apply only to the
+    scan path (`finish="host"` runs the Horner tail on host ints, see
+    curves/msm.msm_sharded)."""
     import jax as _jax
 
     if mesh is None:
@@ -89,4 +91,5 @@ def msm_distributed(points, scalars, curve: CurveOps = G1, c: int | None = None,
     from .curves.msm import msm_sharded
 
     return msm_sharded(points, scalars, mesh, curve=curve,
-                       c=8 if c is None else c, lanes=lanes, axis=axis)
+                       c=8 if c is None else c, lanes=lanes, axis=axis,
+                       finish=finish)

@@ -232,6 +232,47 @@ def bench_pairing():
     return n, dt, n / dt, n / dtp
 
 
+def bench_latency():
+    """Single-element HOST-path latencies, mirroring the reference's
+    criterion benches one for one: Fr add/mul/div
+    (/root/reference/benches/fields.rs:22-45), G1 projective add, G1
+    scalar-mul, and a 500-point MSM (/root/reference/benches/group.rs:18-56).
+    These run the public Python API's host backend (Python-int arithmetic)
+    — the latency-optimized path, as the reference's criterion benches are
+    CPU-latency measurements; device paths are throughput-oriented and
+    benched above."""
+    from ark_blst_tpu import G1Projective, Scalar
+
+    rng = random.Random(42)
+
+    def t(fn, reps):
+        fn()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        return (time.perf_counter() - t0) / reps
+
+    r = Scalar(rng.randrange(1, Scalar.MODULUS))
+    s = Scalar(rng.randrange(1, Scalar.MODULUS))
+    p = G1Projective.generator().mul(rng.randrange(1, Scalar.MODULUS))
+    q = G1Projective.generator().mul(rng.randrange(1, Scalar.MODULUS))
+    bases = [
+        G1Projective.generator().mul(rng.randrange(1, Scalar.MODULUS)).into_affine()
+        for _ in range(500)
+    ]
+    scs = [Scalar(rng.randrange(Scalar.MODULUS)) for _ in range(500)]
+    return {
+        "fr_add_ns": round(t(lambda: r + s, 10000) * 1e9, 1),
+        "fr_mul_ns": round(t(lambda: r * s, 10000) * 1e9, 1),
+        "fr_div_ns": round(t(lambda: r / s, 2000) * 1e9, 1),
+        "g1_add_us": round(t(lambda: p + q, 2000) * 1e6, 2),
+        "g1_scalar_mul_us": round(t(lambda: p.mul(s), 50) * 1e6, 1),
+        "msm_500_host_ms": round(
+            t(lambda: G1Projective.msm(bases, scs, backend="host"), 3) * 1e3, 1
+        ),
+    }
+
+
 def bench_fpmul():
     import jax
     from jax import lax
@@ -299,6 +340,10 @@ def main():
                     extra["fp_mont_mul_per_s"] = round(fn(), 1)
             except Exception as e:  # noqa: BLE001 — record, don't kill headline
                 extra[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        extra["host_latency"] = bench_latency()
+    except Exception as e:  # noqa: BLE001
+        extra["host_latency_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(
