@@ -107,12 +107,16 @@ def window_digits_signed(scalars, c: int):
     conditionally negated instead — profitable exactly because group
     negation is free (`NEGATION_IS_CHEAP`, /root/reference/src/g1.rs:593-600).
 
-    No extra carry window is needed: scalars are < r < 2^255 while the W
-    raw windows span W*c >= 256 bits, so the top raw digit is at most
-    2^(255 - (W-1)*c) - 1 and even with an incoming carry stays <= 2^(c-1)
-    — it can never go negative, so the final carry is provably zero.
-    (Round 3 appended an always-zero 38th window; this costs 1/38 of the
-    whole MSM kernel.)
+    PRECONDITION: scalars < 2^255 (any scalar reduced mod r qualifies;
+    every in-repo caller reduces first). The no-carry-window argument
+    below depends on it: the W raw windows span W*c >= 256 bits, so the
+    top raw digit is at most 2^(255 - (W-1)*c) - 1 and even with an
+    incoming carry stays <= 2^(c-1) — it can never go negative, so the
+    final carry is provably zero. A full 256-bit scalar would silently
+    drop its top carry (ADVICE r4); rather than pay an always-zero extra
+    window (1/38 of the whole MSM kernel, the round-3 design), the
+    precondition is part of the public MSM contract (see msm_pallas2 /
+    msm_auto docstrings).
     """
     assert 2 <= c <= LIMB_BITS - 1
     raw = window_digits(scalars, c)  # (W, N)
@@ -305,6 +309,9 @@ def msm(points, scalars, curve: CurveOps = G1, c: int = 8, lanes: int = 128,
 def msm_auto(points, scalars, curve: CurveOps = G1, hbm_budget_bytes: int = 6 << 30,
              use_jit: bool | None = None, maybe_abort=None):
     """MSM with the execution strategy chosen automatically.
+
+    Scalars must be < 2^255 (reduced mod r) — the TPU path's signed window
+    transform relies on it (window_digits_signed docstring).
 
     On TPU: the v2 lazy-engine VMEM-bucket kernel with the largest signed
     window whose bucket array fits VMEM (G1: c=7, G2: c=5), via the

@@ -313,9 +313,12 @@ def _make_kernel2(kc: KernelCurve2, B: int, t_blocks: int):
         sign = (idx >> SIGN_BIT) != 0
         idx = idx & jnp.uint32(MAG_MASK)
 
-        # one-hot gather of the addressed bucket across the scratch parts
-        # (packed words < 2^29: the int32 one-hot sum is exact — at most one
-        # term over all parts is nonzero)
+        # one-hot gather of the addressed bucket across the scratch parts.
+        # Exactness argument: at most ONE term across all parts is nonzero
+        # (bucket indices are unique), and every packed word fits int32 —
+        # the max biased word is BIAS | ((2*BIAS-1) << 16) ~= 5.41e8 < 2^31.
+        # (A uniform < 2^29 bound would NOT hold — 5.41e8 > 2^29; the sum
+        # is exact by the single-nonzero-term argument, not digit headroom.)
         cur_rows_mat = None
         masks = []
         for (off, bp), ref in zip(parts, bucket_refs):
@@ -822,10 +825,13 @@ def msm_pallas2(points, scalars, curve: CurveOps = G1, c: int | None = None,
     """Single-chip MSM v2: lazy-engine VMEM bucket kernel, HBM-budget chunked.
 
     points: projective batch in strict-Montgomery form (coord leaves (24, N));
-    scalars: (16, N) plain FR limbs. Returns a strict-Montgomery projective
-    point with batch shape (1,) — drop-in compatible with curves/msm.py
-    consumers. `maybe_abort`: zero-arg callable polled between chunk
-    dispatches (ec-gpu's cancellation hook, /root/reference/src/gpu.rs:58,133-137).
+    scalars: (16, N) plain FR limbs, each value < 2^255 (the signed window
+    transform drops the top carry window on that precondition — scalars
+    reduced mod r always qualify; see msm.window_digits_signed). Returns a
+    strict-Montgomery projective point with batch shape (1,) — drop-in
+    compatible with curves/msm.py consumers. `maybe_abort`: zero-arg
+    callable polled between chunk dispatches (ec-gpu's cancellation hook,
+    /root/reference/src/gpu.rs:58,133-137).
     """
     from .msm import MsmAborted
 

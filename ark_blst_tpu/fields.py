@@ -28,6 +28,33 @@ from .oracle import field as OF
 from .oracle import serialize as OS
 
 
+def _from_random_bytes_generic(modulus, modulus_bits, ser_bytes, data,
+                               flag_bit_mask):
+    """Arkworks `from_random_bytes_with_flags` semantics, shared by Fp/Fr.
+
+    arkworks places the flag bits in byte `output_byte_size - 1` where
+    `output_byte_size = ceil((MODULUS_BIT_SIZE + FLAG_BIT_SIZE) / 8)` — for
+    a nonzero flag type that byte can sit one PAST the serialized size
+    (e.g. Fr: 255 value bits + 2 flag bits -> byte 32 of a 33-byte buffer,
+    with bit 254 kept in the value). Bits at/above MODULUS_BIT_SIZE are
+    shaved from the value before the canonicality check (last-limb mask).
+    Returns (int value, flags) or None (non-canonical / oversized input).
+    """
+    f = bin(flag_bit_mask).count("1")
+    obs = (modulus_bits + f + 7) // 8  # arkworks output_byte_size
+    if len(data) > obs:
+        return None
+    raw = bytearray(bytes(data).ljust(ser_bytes + 1, b"\x00"))
+    flags = raw[obs - 1] & flag_bit_mask
+    raw[obs - 1] &= 0xFF ^ flag_bit_mask
+    top = modulus_bits % 8  # shave bits >= MODULUS_BIT_SIZE
+    raw[ser_bytes - 1] &= (1 << top) - 1 if top else 0xFF
+    v = int.from_bytes(bytes(raw[:ser_bytes]), "little")
+    if v >= modulus:
+        return None
+    return v, flags
+
+
 class _FieldElement:
     """Shared operator/serde plumbing. Subclasses define the value domain
     (`_wrap`/`_unwrap` canonical Python values) and the op table."""
@@ -253,19 +280,14 @@ class Fp(_FieldElement):
     @classmethod
     def from_random_bytes_with_flags(cls, data: bytes, flag_bit_mask: int = 0):
         """Arkworks generic-Fp semantics (the reference leaves this
-        `unimplemented!()`, /root/reference/src/fp.rs:568-579): zero-pad to
-        the 48-byte serialized size, read flags from the fixed last byte,
-        shave the bits at and above MODULUS_BIT_SIZE (bit 381), and return
-        (Fp, flags) iff the remaining value is canonical."""
-        if len(data) > 48:
-            return None
-        raw = bytearray(bytes(data).ljust(48, b"\x00"))
-        flags = raw[47] & flag_bit_mask
-        raw[47] &= (0xFF ^ flag_bit_mask) & 0x1F  # keep bits 376..380
-        v = int.from_bytes(bytes(raw), "little")
-        if v >= OF.P:
-            return None
-        return cls(v), flags
+        `unimplemented!()`, /root/reference/src/fp.rs:568-579): flags read
+        from arkworks' output_byte_size-1 position (byte 47 for <= 3 flag
+        bits, byte 48 beyond), bits at/above MODULUS_BIT_SIZE (381) shaved,
+        (Fp, flags) iff the remaining value is canonical. See
+        `_from_random_bytes_generic` (ADVICE r4: the flag byte moves past
+        the serialized size when modulus bits + flag bits > 8*48)."""
+        out = _from_random_bytes_generic(OF.P, 381, 48, data, flag_bit_mask)
+        return (cls(out[0]), out[1]) if out else None
 
     @classmethod
     def from_random_bytes(cls, data: bytes):
@@ -368,20 +390,14 @@ class Scalar(_FieldElement):
     def from_random_bytes_with_flags(cls, data: bytes, flag_bit_mask: int = 0):
         """Arkworks `from_random_bytes_with_flags` semantics (the reference
         delegates to ark-bls12-381, /root/reference/src/scalar.rs:553-560):
-        zero-pad `data` to the 32-byte serialized size, read the flag bits
-        from the FIXED last byte of that buffer, shave the bits at and above
-        MODULUS_BIT_SIZE (bit 255 for Fr) like arkworks' last-limb mask, and
-        return (Scalar, flags) iff the remaining value is canonical (< r).
-        Empty input is Some(0); input longer than 32 bytes is None."""
-        if len(data) > 32:
-            return None
-        raw = bytearray(bytes(data).ljust(32, b"\x00"))
-        flags = raw[31] & flag_bit_mask
-        raw[31] &= (0xFF ^ flag_bit_mask) & 0x7F  # shave bit 255 + flag bits
-        v = int.from_bytes(bytes(raw), "little")
-        if v >= OF.R:
-            return None
-        return cls(v), flags
+        flags read from arkworks' output_byte_size-1 position — byte 31 for
+        empty flags, byte 32 of a 33-byte buffer for >= 2 flag bits (255
+        modulus bits + flag bits > 256, with bit 254 kept in the value) —
+        bits at/above MODULUS_BIT_SIZE (255) shaved, (Scalar, flags) iff
+        the remaining value is canonical (< r). Empty input is Some(0).
+        See `_from_random_bytes_generic` (ADVICE r4)."""
+        out = _from_random_bytes_generic(OF.R, 255, 32, data, flag_bit_mask)
+        return (cls(out[0]), out[1]) if out else None
 
     @classmethod
     def from_random_bytes(cls, data: bytes):

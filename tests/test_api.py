@@ -371,10 +371,17 @@ def test_api_long_tail_conversions():
     assert Fp.from_bigint(OF.P) is None
     assert Scalar.from_bigint(OF.R - 1).v == OF.R - 1
 
+    # 2 flag bits -> arkworks reads flags from byte 32 of a 33-byte buffer
     s, flags = Scalar.from_random_bytes_with_flags(
-        b"\x2a" + b"\x00" * 30 + b"\xc0", 0xC0
+        b"\x2a" + b"\x00" * 31 + b"\xc0", 0xC0
     )
     assert s.v == 42 and flags == 0xC0
+    # flag bits placed at byte 31 are VALUE bits for a nonzero flag type:
+    # bit 255 is shaved, bit 254 stays in the value (ADVICE r4)
+    s2, flags2 = Scalar.from_random_bytes_with_flags(
+        b"\x2a" + b"\x00" * 30 + b"\xc0", 0xC0
+    )
+    assert s2.v == 42 + (1 << 254) and flags2 == 0
     assert Scalar.from_random_bytes((OF.R).to_bytes(32, "little")) is None
     assert Scalar.from_random_bytes((7).to_bytes(16, "little")).v == 7
 
@@ -404,8 +411,10 @@ def test_field_pow_edge_cases():
 
 
 def test_from_random_bytes_arkworks_semantics():
-    """Arkworks parity (ADVICE r3): empty input is zero; bit 255 is shaved
-    BEFORE the canonicality check; flags read from the fixed byte 31."""
+    """Arkworks parity (ADVICE r3/r4): empty input is zero; bit 255 is
+    shaved BEFORE the canonicality check; the flag byte is arkworks'
+    output_byte_size-1 — byte 31 for empty flags, byte 32 for a 2-bit
+    flag type (33-byte buffer)."""
     from ark_blst_tpu.fields import Scalar
     from ark_blst_tpu.oracle import field as OF
 
@@ -414,10 +423,14 @@ def test_from_random_bytes_arkworks_semantics():
     v = 5 | (1 << 255)
     s = Scalar.from_random_bytes(v.to_bytes(32, "little"))
     assert s is not None and s.v == 5
-    # flags live at byte 31 of the padded buffer even for short input
+    # flags live past the serialized size for a nonzero flag type; short
+    # input zero-pads, so the flags come back empty
     out = Scalar.from_random_bytes_with_flags(b"\x07", 0xC0)
     assert out is not None and out[0].v == 7 and out[1] == 0
+    # empty flags: >32 bytes rejected; 2-bit flags: 33 accepted, 34 rejected
     assert Scalar.from_random_bytes(b"\x00" * 33) is None
+    assert Scalar.from_random_bytes_with_flags(b"\x01" + b"\x00" * 32, 0xC0) is not None
+    assert Scalar.from_random_bytes_with_flags(b"\x00" * 34, 0xC0) is None
 
 
 def test_g2_cofactor_inv():
