@@ -54,6 +54,25 @@ for _bit in OP.X_BITS:
         MILLER_EVENTS.append(False)
 NUM_EVENTS = len(MILLER_EVENTS)
 
+
+def _event_segments(ev):
+    """[(n_doublings, has_addition_after)] static decomposition of an event
+    schedule: runs of doubling events separated by single addition events.
+    Lets the fused paths scan a doubling-only body and pay the addition
+    step only at the 5 real addition events, instead of computing both
+    step types at all 68 events and select-discarding one (round-5 cut)."""
+    segs = []
+    n_dbl = 0
+    for is_dbl in ev:
+        if is_dbl:
+            n_dbl += 1
+        else:
+            segs.append((n_dbl, True))
+            n_dbl = 0
+    if n_dbl:
+        segs.append((n_dbl, False))
+    return segs
+
 # bits of |x| MSB-first for the cyclotomic exponentiation ladder
 X_ABS_BITS = [int(b) for b in bin(OP.X_ABS)[2:]]
 
@@ -173,17 +192,19 @@ def prepare_g2(q, fuse=None, engine=None, events=None):
             coeffs.append(c)
         return jax.tree.map(lambda *xs: jnp.stack(xs), *coeffs)
 
-    flags = jnp.asarray(np.array(ev, dtype=np.bool_))
-
-    def body(r, is_dbl):
-        rd, cd = _doubling_step(T, r)
-        ra, ca = _addition_step(T, r, (qx, qy))
-        r = T.select(is_dbl, rd, ra)
-        c = T.select(is_dbl, cd, ca)
+    def dbl_body(r, _):
+        r, c = _doubling_step(T, r)
         return r, c
 
-    _, coeffs = lax.scan(body, r, flags)
-    return coeffs
+    chunks = []
+    for n_dbl, has_add in _event_segments(ev):
+        if n_dbl:
+            r, cs = lax.scan(dbl_body, r, None, length=n_dbl)
+            chunks.append(cs)
+        if has_add:
+            r, c = _addition_step(T, r, (qx, qy))
+            chunks.append(jax.tree.map(lambda x: x[None], c))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
 
 # --- Miller loop ---------------------------------------------------------------
@@ -221,20 +242,44 @@ def miller_loop(p, coeffs, fuse=None, engine=None, ingest=True, events=None):
             f = T.fp12_mul_by_014_many([(f, a0, a1, a4)])[0]
         return T.fp12_conj(f)
 
-    flags = jnp.asarray(np.array(ev, dtype=np.bool_))
-
-    def body(f, xs):
-        is_dbl, c = xs
-        f = T.select(is_dbl, T.fp12_sqr(f), f)
+    def dbl_body(f, c):
+        f = T.fp12_sqr(f)
         a0, a1, a4 = _ell_legs(T, c, px, py)
         f = T.fp12_mul_by_014_many([(f, a0, a1, a4)])[0]
         return f, None
 
-    f, _ = lax.scan(body, f, (flags, coeffs))
+    i = 0
+    for n_dbl, has_add in _event_segments(ev):
+        if n_dbl:
+            cs = jax.tree.map(lambda x: x[i : i + n_dbl], coeffs)
+            f, _ = lax.scan(dbl_body, f, cs)
+            i += n_dbl
+        if has_add:  # addition events: ell only, no squaring
+            c = jax.tree.map(lambda x: x[i], coeffs)
+            a0, a1, a4 = _ell_legs(T, c, px, py)
+            f = T.fp12_mul_by_014_many([(f, a0, a1, a4)])[0]
+            i += 1
     return T.fp12_conj(f)
 
 
 # --- final exponentiation -------------------------------------------------------
+
+# Static segment decomposition of the |x| square-and-multiply ladder:
+# after the leading bit, a set bit at gap L costs L squarings then one
+# multiply; the trailing zeros are squarings only. |x| has Hamming weight
+# 6, so this pays 5 fp12_muls total instead of one per bit (the round-4
+# scan multiplied unconditionally and select-discarded 57 of 63 products).
+_X_SEGMENTS = []
+_run = 0
+for _bit in X_ABS_BITS[1:]:
+    _run += 1
+    if _bit:
+        _X_SEGMENTS.append((_run, True))
+        _run = 0
+if _run:
+    _X_SEGMENTS.append((_run, False))
+del _run, _bit
+
 
 def cyclotomic_exp_x_conj(f, fuse=None, engine=None):
     """f^(-x) = conj(f^|x|) in the cyclotomic subgroup (x < 0 for BLS12-381);
@@ -250,14 +295,16 @@ def cyclotomic_exp_x_conj(f, fuse=None, engine=None):
                 r = T.fp12_mul(r, f)
         return T.fp12_conj(r)
 
-    bits = jnp.asarray(np.array(X_ABS_BITS[1:], dtype=np.bool_))
-
-    def body(r, bit):
-        r = T.fp12_cyclotomic_sqr(r)
-        r = T.select(bit, T.fp12_mul(r, f), r)
-        return r, None
-
-    r, _ = lax.scan(body, f, bits)
+    r = f
+    for n_sqr, do_mul in _X_SEGMENTS:
+        # fori_loop: the squaring body is traced ONCE per segment (6
+        # segments), keeping the trace compact without the scan's wasted
+        # unconditional multiplies
+        r = lax.fori_loop(
+            0, n_sqr, lambda _, v: T.fp12_cyclotomic_sqr(v), r
+        )
+        if do_mul:
+            r = T.fp12_mul(r, f)
     return T.fp12_conj(r)
 
 

@@ -634,12 +634,15 @@ def fp12_cyclotomic_sqr(a):
          ((cs[6], cs[7]), (cs[8], cs[9]), (cs[10], cs[11])))
     (a0, a1, a2), (b0, b1, b2) = a
 
-    def fp4_sqr_legs(c0, c1):
-        s = fp2_add(c0, c1)
-        return [(c0, c0), (c1, c1), (s, s)]
+    # each fp4 square needs c0^2, c1^2, (c0+c1)^2 — all true fp2 SQUARES,
+    # so they ride the 2-base-mul complex-square path (fp2_sqr_many)
+    # instead of generic 3-base-mul Karatsuba: 18 base muls per
+    # cyclotomic square, not 27 (round-5 cut; final exp is ~315 of these)
+    def fp4_sqr_items(c0, c1):
+        return [c0, c1, fp2_add(c0, c1)]
 
-    legs = fp4_sqr_legs(a0, b1) + fp4_sqr_legs(b0, a2) + fp4_sqr_legs(a1, b2)
-    prods = fp2_mul_many(legs)
+    items = fp4_sqr_items(a0, b1) + fp4_sqr_items(b0, a2) + fp4_sqr_items(a1, b2)
+    prods = fp2_sqr_many(items)
 
     def fp4_out(i):
         s0, s1, sboth = prods[3 * i : 3 * i + 3]

@@ -26,6 +26,7 @@ Timing is honest: every rep ends with a host fetch of the result, because
 
 from __future__ import annotations
 
+import functools
 import json
 import random
 import sys
@@ -68,39 +69,52 @@ def _random_msm_instance(curve_name, logn, seed):
     from ark_blst_tpu.oracle import curve as OC
     from ark_blst_tpu.oracle import field as OF
 
-    assert logn % 2 == 0
-    h = logn // 2
-    nA = 1 << h
+    nA = 1 << (logn // 2)
+    nB = 1 << (logn - logn // 2)
     rng = random.Random(seed)
     if curve_name == "g1":
         gen, mul, to_dev, ops = OF.G1_GEN, OC.g1_mul, CV.g1_to_dev, G1OPS
     else:
         gen, mul, to_dev, ops = OF.G2_GEN, OC.g2_mul, CV.g2_to_dev, G2OPS
     a = [rng.randrange(1, OF.R) for _ in range(nA)]
-    b = [rng.randrange(1, OF.R) for _ in range(nA)]
+    b = [rng.randrange(1, OF.R) for _ in range(nB)]
     A = to_dev([mul(gen, v) for v in a])
     B = to_dev([mul(gen, v) for v in b])
 
-    @jax.jit
-    def pairwise(Adev, Bdev):
-        Ar = jax.tree.map(lambda x: jnp.repeat(x, nA, axis=-1), Adev)
-        Bt = jax.tree.map(lambda x: jnp.tile(x, (1, nA)), Bdev)
+    # Pairwise add in chunks of A rows: one monolithic add at 2^24 would
+    # hold ~3x the full point set in temporaries; chunks cap the peak at
+    # ~CHUNK_OUT working points while the concatenated output is built.
+    CHUNK_OUT = 1 << 21
+    rows_per_chunk = max(1, CHUNK_OUT // nB)
+
+    @functools.partial(jax.jit, static_argnames="nrows")
+    def pairwise(Achunk, Bdev, nrows):
+        Ar = jax.tree.map(lambda x: jnp.repeat(x, nB, axis=-1), Achunk)
+        Bt = jax.tree.map(lambda x: jnp.tile(x, (1, nrows)), Bdev)
         return ops.add(Ar, Bt)
 
-    pts = pairwise(A, B)
+    chunks = []
+    for lo in range(0, nA, rows_per_chunk):
+        hi = min(nA, lo + rows_per_chunk)
+        Ac = jax.tree.map(lambda x: x[:, lo:hi], A)
+        chunks.append(pairwise(Ac, B, hi - lo))
+    pts = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=-1), *chunks)
+    jax.block_until_ready(jax.tree.leaves(pts)[0])
     n = 1 << logn
     nprng = np.random.default_rng(seed)
     scs_np = nprng.integers(0, 1 << 16, (16, n), dtype=np.uint16)
     scs_np[15] &= 0x3FFF  # < 2^254 < r
-    # expected = gen * sum_ij r_ij (a_i + b_j)
-    mat = scs_np.reshape(16, nA, nA).astype(np.int64)
-    rows = mat.sum(axis=2)  # (16, nA)
-    cols = mat.sum(axis=1)
+    # expected = gen * sum_ij r_ij (a_i + b_j); point index = i*nB + j
+    mat = scs_np.reshape(16, nA, nB).astype(np.int64)
+    rows = mat.sum(axis=2)  # (16, nA): total scalar weight on a_i
+    cols = mat.sum(axis=1)  # (16, nB): total scalar weight on b_j
     total = 0
     for i in range(nA):
         ri = sum(int(rows[k, i]) << (16 * k) for k in range(16))
-        ci = sum(int(cols[k, i]) << (16 * k) for k in range(16))
-        total = (total + a[i] * ri + b[i] * ci) % OF.R
+        total = (total + a[i] * ri) % OF.R
+    for j in range(nB):
+        cj = sum(int(cols[k, j]) << (16 * k) for k in range(16))
+        total = (total + b[j] * cj) % OF.R
     expected = mul(gen, total)
     return pts, jnp.asarray(scs_np.astype(np.uint32)), expected
 
