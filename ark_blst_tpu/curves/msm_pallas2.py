@@ -607,7 +607,10 @@ def _fold_streams_traced(pt, kc: KernelCurve2, scan_chunk: int = 64):
 
 
 def _fold_streams_eager(pt, kc: KernelCurve2, size: int):
-    """Eager tree fold (CPU tests): plain python loop, no compiles."""
+    """Unrolled binary-tree fold of the leading axis: log2(size) add
+    bodies on halving batches (eager CPU path; tried traced on TPU in
+    round 5 and measured 3.7x SLOWER than the scan fold — see
+    _reduce_dump)."""
     while size > 1:
         half = size // 2
         lo = _tree_map_pt(lambda x: x[:half], pt)
@@ -655,6 +658,10 @@ def _reduce_dump(dump, *, kc: KernelCurve2, B: int):
     """dump (W, B, rows, 8, 128) -> stacked lazy window sums (n_fp*ELEM, W)."""
     W = dump.shape[0]
     pt = _dump_to_points(dump, kc)
+    # scan fold, NOT the unrolled tree: measured on hardware (round 5),
+    # the tree's big-batch adds ((512, W*B) level-0 temporaries) run the
+    # reduce at 483 ms vs the scan's 129 ms — the scan's (chunk, W*B)
+    # working set stays cache-resident while the tree thrashes HBM
     folded = _fold_streams_traced(pt, kc)  # batch (W*B,)
     folded = _tree_map_pt(lambda x: x.reshape(W, B), folded)
     ws = _bucket_suffix_scan(folded, kc)  # batch (W,)

@@ -170,7 +170,7 @@ def bench_msm_g2():
     from ark_blst_tpu.curves.group import G2
     from ark_blst_tpu.ops import convert as CV
 
-    logn, c, reps = 18, None, 2
+    logn, c, reps = 20, None, 2
     pts, scalars, want = _random_msm_instance("g2", logn, seed=11)
 
     def run():
