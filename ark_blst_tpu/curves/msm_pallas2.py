@@ -719,11 +719,15 @@ def _finish_host(ws_stacked, kc: KernelCurve2, c: int):
     from ..ops import convert as CV
 
     arr = _call(_egress_wsums, ws_stacked, kc=kc)
+    # ONE host fetch of the stacked (n_fp, 24, W) array; slicing device
+    # arrays per coordinate costs a synchronous tunnel roundtrip EACH
+    # (~10 ms/array on this platform) — 6 of them for G2
+    a = np.asarray(arr)
     if kc.name == "g2":
-        pts = CV.g2_from_dev(((arr[0], arr[1]), (arr[2], arr[3]), (arr[4], arr[5])))
+        pts = CV.g2_from_dev(((a[0], a[1]), (a[2], a[3]), (a[4], a[5])))
         ops, to_dev = OC.FP2_OPS, CV.g2_to_dev
     else:
-        pts = CV.g1_from_dev((arr[0], arr[1], arr[2]))
+        pts = CV.g1_from_dev((a[0], a[1], a[2]))
         ops, to_dev = OC.FP_OPS, CV.g1_to_dev
     total = None
     for w in range(len(pts) - 1, -1, -1):
