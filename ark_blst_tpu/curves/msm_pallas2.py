@@ -735,8 +735,25 @@ def _finish_host(ws_stacked, kc: KernelCurve2, c: int):
             for _ in range(c):
                 total = OC.double(ops, total)
         total = OC.add(ops, total, pts[w])
-    out = to_dev([total])
-    return _stack_strict(out, kc)
+    # ONE upload of the stacked (n_fp, 24, 1) result — the to_dev +
+    # device-stack route paid one dispatch per coordinate component
+    from ..ops.limbs import FP as _FP
+    from ..ops.limbs import ints_to_limbs as _itl
+
+    def np_fp(v):
+        return _itl([v * _FP.mont_r % _FP.modulus], _FP.num_limbs).T
+
+    if kc.name == "g2":
+        x, y, z = (
+            ((0, 0), (1, 0), (0, 0)) if total is None
+            else (total[0], total[1], (1, 0))
+        )
+        rows = [np_fp(cmp) for coord in (x, y, z) for cmp in coord]
+    else:
+        x, y, z = (0, 1, 0) if total is None else (total[0], total[1], 1)
+        rows = [np_fp(coord) for coord in (x, y, z)]
+    del to_dev  # superseded by the single-upload path
+    return jnp.asarray(np.stack(rows).astype(np.uint32))
 
 
 def _stack_strict(leaves, kc: KernelCurve2):
