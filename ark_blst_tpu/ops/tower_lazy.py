@@ -606,17 +606,48 @@ def fp12_frobenius(a, power: int):
 
 # --- cyclotomic ops -----------------------------------------------------------
 
-def _contract_many(elems):
-    """Montgomery VALUE contraction: x * rep(1) / R13 — same residue mod p,
-    magnitude pulled into (-0.51p, 0.51p). Digit folds bound DIGITS, not
-    values: an op that reuses its raw input additively across iterations
-    (cyclotomic squaring's 3t +- 2z) doubles the value magnitude every
-    round until the fold30 truncation bound (~300p) silently breaks — the
-    round-4 ladder divergence. One batched multiply per call site."""
-    one = jnp.broadcast_to(
-        _const_col(1, elems[0].ndim - 1), elems[0].shape
+# Barrett constants for digit-level value contraction: q ~= value/p from the
+# top digit alone.  K = round(2^(13*29+S) / p) with S = 16; the estimate
+# q = round(d29*K / 2^S) satisfies |value/p - q| <= 0.5 (shift rounding)
+# + 0.032 (K quantization: F_BOUND * 0.5 / 2^S) + 0.039 (ignored low-digit
+# mass: 0.504 * 2^377/p), so |value - q*p| <= 0.58p.
+_BARRETT_S = 16
+_BARRETT_K = jnp.int32((2 ** (13 * 29 + _BARRETT_S) + _P // 2) // _P)
+_BARRETT_HALF = jnp.int32(1 << (_BARRETT_S - 1))
+
+
+def _p_col(ndim_batch: int):
+    """(30, 1, ..) broadcastable column of p's canonical 13-bit digits."""
+    arr = np.array(LZ.P_DIGITS, np.int32).reshape(
+        (LZ.L13,) + (1,) * ndim_batch
     )
-    return fp_mul_many([(x, one) for x in elems])
+    return jnp.asarray(arr)
+
+
+def _contract_many(elems):
+    """Digit-level Barrett VALUE contraction: x - round(x/p)*p — the SAME
+    residue mod p for ANY quotient estimate (only the magnitude depends on
+    its accuracy), magnitude pulled into (-0.58p, 0.58p). Digit folds bound
+    DIGITS, not values: an op that reuses its raw input additively across
+    iterations (cyclotomic squaring's 3t +- 2z) doubles the value magnitude
+    every round until the fold30 truncation bound (~250p) silently breaks —
+    the round-4 ladder divergence.
+
+    Round-5 cut: this replaced a Montgomery multiply by rep(1) (12 full
+    ~4.3K-eop muls per cyclotomic square = 40% of its cost) with ~100
+    elementwise ops per element: q from the top digit, one broadcast
+    int32 multiply against p's digit column, two balanced folds (the
+    subtract leaves digits <= F_BOUND + 0.58p/p_worst*8191 ~ 2.6e6; fold one
+    brings them to <= 4096 + 318, fold two to <= F_BOUND). Exactness: the
+    digit weights are linear, so value(x - q*pcol) = value(x) - q*p with no
+    wraparound (|columns| < 2^31), and both folds truncate exactly because
+    |value| <= 0.58p << 0.49 * 2^390."""
+    pcol = _p_col(elems[0].ndim - 1)
+    out = []
+    for x in elems:
+        q = (x[29] * _BARRETT_K + _BARRETT_HALF) >> _BARRETT_S
+        out.append(fold30(fold30(x - q[None] * pcol)))
+    return out
 
 
 def fp12_cyclotomic_sqr(a):

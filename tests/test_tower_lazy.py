@@ -147,6 +147,36 @@ def test_lazy_miller_steps_match_strict():
             )
 
 
+def test_barrett_contraction_contract():
+    """_contract_many must (a) preserve the residue mod p EXACTLY, (b) pull
+    the value magnitude under 0.6p, (c) return mul-ready digits — for inputs
+    across the whole legal magnitude range (up to ~250p, the fold30
+    truncation bound), both balanced and canonical digit forms, both signs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ark_blst_tpu.ops import lazy13 as LZ
+
+    cases = []
+    for k in (0, 1, -1, 9, -17, 120, -199, 249, -249):
+        r = rng.randrange(OF.P)
+        cases.append(k * OF.P + r if k >= 0 else k * OF.P + r - OF.P)
+    arrs = []
+    for v in cases:
+        # exact 30-digit string of v: canonical digits of |v|, negated for
+        # v < 0 (negation keeps |d| <= 8191 — legal contraction input)
+        d = LZ.int_to_digits(abs(v)).astype(np.int32)
+        if v < 0:
+            d = -d
+        arrs.append(jnp.asarray(d).reshape(30, 1))
+    outs = TL._contract_many(arrs)
+    for v, o in zip(cases, outs):
+        got = LZ.digits_to_int(np.asarray(o).reshape(30))
+        assert (got - v) % OF.P == 0, v
+        assert abs(got) < (6 * OF.P) // 10, (v, got)
+        assert int(np.max(np.abs(np.asarray(o)))) <= LZ.F_BOUND, v
+
+
 @pytest.mark.slow
 def test_cyclotomic_iteration_value_stability():
     """REGRESSION (round 4): iterated cyclotomic squaring must not diverge.
