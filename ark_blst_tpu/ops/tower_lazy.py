@@ -271,6 +271,54 @@ def fp_inv(a, fuse: bool = True):
     return out
 
 
+def _mul_flat(a, b):
+    """Multiply (30, w) flat-batch operands; rides the Pallas kernel when w
+    reshapes to a blockable (S, 128) tile, digit-list XLA otherwise."""
+    w = a.shape[1]
+    if w % 1024 == 0:
+        sh3 = (LZ.L13, w // 128, 128)
+        return _mul(a.reshape(sh3), b.reshape(sh3)).reshape(LZ.L13, w)
+    return _mul(a, b)
+
+
+def fp_inv_batch(a):
+    """Invert EVERY lane of a (30, *batch) element via a log-depth
+    Montgomery product tree over the batch axis: pairwise-half products up
+    to one root, ONE width-1 Fermat ladder on the root, sibling products
+    back down. ~3 full-batch mul-equivalents + a scalar inversion, vs ~570
+    sequential full-batch muls for the per-lane Fermat ladder (fp_inv) —
+    the pairing easy part's f^-1 was ~7% of final-exp work (PERF.md §6).
+
+    PRECONDITION: every lane is nonzero mod p. A zero lane poisons the
+    whole tree (its zero propagates into the root product), unlike fp_inv
+    where only the zero lane returns garbage. The pairing pipeline
+    satisfies this: Miller-loop outputs are in Fp12* (identity pairs are
+    substituted with generator placeholders before the loop)."""
+    sh = a.shape
+    n = int(np.prod(sh[1:]))
+    flat = a.reshape((LZ.L13, n))
+    m = 1 << max(0, n - 1).bit_length()
+    if m != n:  # pad to a power of two with rep(1) lanes (self-inverse)
+        one = jnp.broadcast_to(_const_col(1, 1), (LZ.L13, m - n))
+        flat = jnp.concatenate([flat, one], axis=1)
+    levels = [flat]
+    w = m
+    while w > 1:
+        w //= 2
+        cur = levels[-1]
+        levels.append(_mul_flat(cur[:, :w], cur[:, w:]))
+    v = fp_inv(levels[-1], fuse=True)  # width-1 root
+    for u in levels[-2::-1]:
+        w = u.shape[1] // 2
+        # inv(lo) = inv(parent) * hi ; inv(hi) = inv(parent) * lo — one
+        # concatenated mul at this level's full width
+        v = _mul_flat(
+            jnp.concatenate([v, v], axis=1),
+            jnp.concatenate([u[:, w:], u[:, :w]], axis=1),
+        )
+    return v[:, :n].reshape(sh)
+
+
 # --- fp2 ----------------------------------------------------------------------
 
 def fp2_add(a, b):
@@ -339,10 +387,17 @@ def fp2_sqr(a):
 
 
 def fp2_inv(a, fuse: bool = True):
-    """(a0 - a1 u) / (a0^2 + a1^2); one Fermat inversion."""
+    """(a0 - a1 u) / (a0^2 + a1^2); one norm inversion. Large fused batches
+    ride the log-depth product tree (fp_inv_batch) instead of the per-lane
+    Fermat ladder — sound because norm(a) = a0^2 + a1^2 = 0 iff a = 0
+    (-1 is a quadratic non-residue mod p), and tower callers (the pairing
+    easy part) only invert nonzero values."""
     n0, n1 = fp_mul_many([(a[0], a[0]), (a[1], a[1])])
     norm = fp_add(n0, n1)
-    inv = fp_inv(norm, fuse)
+    if fuse and int(np.prod(norm.shape[1:])) >= 2048:
+        inv = fp_inv_batch(norm)
+    else:
+        inv = fp_inv(norm, fuse)
     c0, c1 = fp_mul_many([(a[0], inv), (a[1], inv)])
     return (c0, -c1)
 

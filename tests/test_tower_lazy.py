@@ -177,6 +177,24 @@ def test_barrett_contraction_contract():
         assert int(np.max(np.abs(np.asarray(o)))) <= LZ.F_BOUND, v
 
 
+@pytest.mark.slow  # the width-1 Fermat scan costs ~90s of XLA:CPU compile
+def test_fp_inv_batch_tree_matches_fermat():
+    """The log-depth product-tree inversion must equal the per-lane Fermat
+    ladder lane-for-lane, including at a non-power-of-two batch (padding
+    lanes must not leak)."""
+    import numpy as np
+
+    vals = [rng.randrange(1, OF.P) for _ in range(6)]  # 6 -> padded to 8
+    dev = CV.fp_to_dev(vals)
+    lz = TL.fp_ingest(dev)
+    got_tree = TL.fp_inv_batch(lz)
+    got_fermat = TL.fp_inv(lz, fuse=False)
+    a = CV.fp_from_dev(TL.fp_egress(got_tree))
+    b = CV.fp_from_dev(TL.fp_egress(got_fermat))
+    assert a == b
+    assert a == [pow(v, OF.P - 2, OF.P) for v in vals]
+
+
 @pytest.mark.slow
 def test_cyclotomic_iteration_value_stability():
     """REGRESSION (round 4): iterated cyclotomic squaring must not diverge.
