@@ -286,14 +286,18 @@ def fp_inv_batch(a):
     Montgomery product tree over the batch axis: pairwise-half products up
     to one root, ONE width-1 Fermat ladder on the root, sibling products
     back down. ~3 full-batch mul-equivalents + a scalar inversion, vs ~570
-    sequential full-batch muls for the per-lane Fermat ladder (fp_inv) —
-    the pairing easy part's f^-1 was ~7% of final-exp work (PERF.md §6).
+    sequential full-batch muls for the per-lane Fermat ladder (fp_inv).
+
+    Use this for EAGER batch inversion (host-visible values, setup-time
+    normalization). Do NOT wire it into fused device programs: measured
+    inside the fused pairing's easy part it LOST 77 ms at batch 8192
+    (31.8K -> 24.5K pairings/s) because its sub-1024-wide tree levels and
+    width-1 root ladder run on un-fused XLA digit graphs, not the Pallas
+    mul kernel (see fp2_inv's docstring for the measurement).
 
     PRECONDITION: every lane is nonzero mod p. A zero lane poisons the
     whole tree (its zero propagates into the root product), unlike fp_inv
-    where only the zero lane returns garbage. The pairing pipeline
-    satisfies this: Miller-loop outputs are in Fp12* (identity pairs are
-    substituted with generator placeholders before the loop)."""
+    where only the zero lane returns garbage."""
     sh = a.shape
     n = int(np.prod(sh[1:]))
     flat = a.reshape((LZ.L13, n))
@@ -387,17 +391,19 @@ def fp2_sqr(a):
 
 
 def fp2_inv(a, fuse: bool = True):
-    """(a0 - a1 u) / (a0^2 + a1^2); one norm inversion. Large fused batches
-    ride the log-depth product tree (fp_inv_batch) instead of the per-lane
-    Fermat ladder — sound because norm(a) = a0^2 + a1^2 = 0 iff a = 0
-    (-1 is a quadratic non-residue mod p), and tower callers (the pairing
-    easy part) only invert nonzero values."""
+    """(a0 - a1 u) / (a0^2 + a1^2); one norm inversion via the per-lane
+    Fermat ladder. Routing large fused batches through the log-depth
+    product tree (fp_inv_batch) was tried here and REJECTED by
+    measurement: at batch 8192 the fused pairing dropped 31.8K -> 24.5K
+    pairings/s (+77 ms end-to-end, tpu_pairing_check.py), because the
+    tree's sub-1024-wide levels and its width-1 root ladder fall off the
+    Pallas mul path onto un-fused XLA digit graphs (PERF.md §1), which
+    cost more in-program than the full-batch ladder's Pallas launches
+    save. fp_inv_batch remains the right primitive for eager batch
+    inversion outside a fused program."""
     n0, n1 = fp_mul_many([(a[0], a[0]), (a[1], a[1])])
     norm = fp_add(n0, n1)
-    if fuse and int(np.prod(norm.shape[1:])) >= 2048:
-        inv = fp_inv_batch(norm)
-    else:
-        inv = fp_inv(norm, fuse)
+    inv = fp_inv(norm, fuse)
     c0, c1 = fp_mul_many([(a[0], inv), (a[1], inv)])
     return (c0, -c1)
 
