@@ -11,6 +11,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.tpu  # the marker pytest.ini declares for this lane
+
 if os.environ.get("ARK_TPU_TESTS", "0") != "1":
     pytest.skip("TPU lane disabled (set ARK_TPU_TESTS=1)", allow_module_level=True)
 
