@@ -57,6 +57,62 @@ def mont_mul_stacked(a, b):
     )(a, b)
 
 
+_FP12_IDX = [(i, j, k) for i in range(2) for j in range(3) for k in range(2)]
+
+
+def _pack12(comps):
+    it = iter(comps)
+    return tuple(
+        tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
+    )
+
+
+def _cyc_sqr_kernel(x_ref, o_ref):
+    from . import tower_lazy as TL
+
+    a = _pack12([x_ref[c] for c in range(12)])
+    prev = TL._IN_KERNEL
+    TL._IN_KERNEL = True  # trace-time: route muls to the raw digit lists
+    try:
+        out = TL._cyc_sqr_core(a)
+    finally:
+        TL._IN_KERNEL = prev
+    o_ref[:] = jnp.stack([out[i][j][k] for i, j, k in _FP12_IDX])
+
+
+@jax.jit
+def cyc_sqr_stacked(x):
+    """Fused fp12 cyclotomic square: x is the (12, ELEM, S, 128) int32
+    stack of the element's fp components (lexicographic (i, j, k) order).
+    One kernel runs contraction + Granger-Scott (18 base muls) + the
+    3t±2z recombination with every intermediate VMEM-resident; at XLA
+    level the same square is ~40 HBM-round-tripping glue ops around the
+    muls. Digit-bound contract and output representation are identical to
+    tower_lazy._cyc_sqr_core (differentially tested)."""
+    S = x.shape[2]
+    assert S % _BLOCK_S == 0, f"batch rows {S} not a multiple of {_BLOCK_S}"
+    spec = pl.BlockSpec(
+        (12, LZ.ELEM, _BLOCK_S, 128),
+        lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _cyc_sqr_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+        grid=(S // _BLOCK_S,),
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=INTERPRET,
+    )(x)
+
+
+def cyc_sqr_fp12(a):
+    """Tower-tuple API over cyc_sqr_stacked."""
+    x = jnp.stack([a[i][j][k] for i, j, k in _FP12_IDX])
+    out = cyc_sqr_stacked(x)
+    return _pack12([out[c] for c in range(12)])
+
+
 def mont_mul_elem(a, b):
     """Digit-list API over mont_mul_stacked: elements with (S, 128)-shaped
     digit arrays, S a multiple of 8. Falls back to the XLA-level multiply

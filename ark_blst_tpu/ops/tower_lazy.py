@@ -55,8 +55,18 @@ _R16_DIGITS = [int(v) for v in LZ.int_to_digits(R16_MOD_P)]
 # MSB-first bits of p - 2 for the Fermat inversion ladder
 _P_MINUS_2_BITS = np.array([int(b) for b in bin(_P - 2)[2:]], np.bool_)
 
-_HALF = jnp.int32(LZ.HALF)
-_DMASK = jnp.int32(LZ.DMASK)
+# Python ints (weak-typed literals), NOT jnp scalars: these appear inside
+# the fused Pallas kernel bodies, where captured device constants are
+# illegal — literals inline into the int32 ops instead.
+_HALF = LZ.HALF
+_DMASK = LZ.DMASK
+
+# Trace-time flag set by ops/pallas_lazy.py while it traces a FUSED tower
+# kernel body: routes _mul/fp_mul_many to the raw digit-list multiply
+# (nested pallas_call is illegal) and makes fp_mul_many skip its
+# concatenate/slice batching (inside a kernel there is no launch overhead
+# to amortize, and the copies would burn VMEM).
+_IN_KERNEL = False
 
 
 def _unstack(a):
@@ -79,7 +89,7 @@ def _mul(a, b):
     """Full lazy Montgomery product of stacked mul-legal operands:
     Pallas-resident when the batch is kernel-blockable on TPU, digit-list
     XLA/eager otherwise."""
-    if jax.default_backend() == "tpu":
+    if not _IN_KERNEL and jax.default_backend() == "tpu":
         from . import pallas_lazy as PLZ
 
         sh = a.shape
@@ -233,8 +243,8 @@ def fp_mul_small(a, k: int):
 def fp_mul_many(pairs):
     """Batched mul-ready products: ONE concatenated multiply (Pallas kernel
     on TPU) — the traced op count is independent of len(pairs)."""
-    if len(pairs) == 1:
-        return [_mul(pairs[0][0], pairs[0][1])]
+    if _IN_KERNEL or len(pairs) == 1:
+        return [_mul(a, b) for a, b in pairs]
     A = jnp.concatenate([a for a, _ in pairs], axis=1)
     B = jnp.concatenate([b for _, b in pairs], axis=1)
     out = _mul(A, B)
@@ -673,16 +683,8 @@ def fp12_frobenius(a, power: int):
 # + 0.032 (K quantization: F_BOUND * 0.5 / 2^S) + 0.039 (ignored low-digit
 # mass: 0.504 * 2^377/p), so |value - q*p| <= 0.58p.
 _BARRETT_S = 16
-_BARRETT_K = jnp.int32((2 ** (13 * 29 + _BARRETT_S) + _P // 2) // _P)
-_BARRETT_HALF = jnp.int32(1 << (_BARRETT_S - 1))
-
-
-def _p_col(ndim_batch: int):
-    """(30, 1, ..) broadcastable column of p's canonical 13-bit digits."""
-    arr = np.array(LZ.P_DIGITS, np.int32).reshape(
-        (LZ.L13,) + (1,) * ndim_batch
-    )
-    return jnp.asarray(arr)
+_BARRETT_K = (2 ** (13 * 29 + _BARRETT_S) + _P // 2) // _P  # ~3343, int32-safe
+_BARRETT_HALF = 1 << (_BARRETT_S - 1)
 
 
 def _contract_many(elems):
@@ -703,18 +705,39 @@ def _contract_many(elems):
     digit weights are linear, so value(x - q*pcol) = value(x) - q*p with no
     wraparound (|columns| < 2^31), and both folds truncate exactly because
     |value| <= 0.58p << 0.49 * 2^390."""
-    pcol = _p_col(elems[0].ndim - 1)
+    # p's digits multiply q as Python-int literals (not a broadcast against
+    # a device-constant column): the fused kernels may trace this body, and
+    # Pallas kernels cannot capture device constants.
+    pd = [int(v) for v in LZ.P_DIGITS]
     out = []
     for x in elems:
         q = (x[29] * _BARRETT_K + _BARRETT_HALF) >> _BARRETT_S
-        out.append(fold30(fold30(x - q[None] * pcol)))
+        qp = jnp.stack([q * d for d in pd])
+        out.append(fold30(fold30(x - qp)))
     return out
 
 
 def fp12_cyclotomic_sqr(a):
     """Granger-Scott squaring in the cyclotomic subgroup (lazy twin of
     tower.py fp12_cyclotomic_sqr; mirrors blst_fp12_cyclotomic_sqr's role
-    at /root/reference/src/pairing.rs:28). Inputs are value-contracted
+    at /root/reference/src/pairing.rs:28). On TPU with kernel-blockable
+    (30, S, 128) components the WHOLE square runs as one fused Pallas
+    kernel (pallas_lazy.cyc_sqr_fp12): the final exponentiation is ~315 of
+    these, and at XLA level each one pays ~40 HBM round trips of glue
+    (contractions, Karatsuba legs, the 3t±2z recombination) around the 18
+    Pallas base muls."""
+    if not _IN_KERNEL and jax.default_backend() == "tpu":
+        x = a[0][0][0]
+        if x.ndim == 3 and x.shape[1] % 8 == 0 and x.shape[2] == 128:
+            from . import pallas_lazy as PLZ
+
+            return PLZ.cyc_sqr_fp12(a)
+    return _cyc_sqr_core(a)
+
+
+def _cyc_sqr_core(a):
+    """The squaring math itself (jnp on stacked digits; runs inside the
+    fused kernel or as the XLA fallback). Inputs are value-contracted
     first: the 3t +- 2z structure feeds the raw input back additively, the
     one unstable recurrence in the pairing pipeline (see _contract_many)."""
     cs = _contract_many(

@@ -211,3 +211,36 @@ def test_cyclotomic_iteration_value_stability():
         lz = TL.fp12_cyclotomic_sqr(lz)
         host = [OP.fp12_cyclotomic_sqr(h) for h in host]
     assert _from_lazy12(lz) == host
+
+
+@pytest.mark.slow  # interpret-mode Pallas over 18 digit muls: minutes
+def test_fused_cyc_sqr_kernel_matches_core():
+    """The fused cyclotomic-square Pallas kernel (pallas_lazy.cyc_sqr_fp12)
+    must be BIT-IDENTICAL to the XLA digit path (_cyc_sqr_core): same math,
+    different residency. Random mul-ready digit strings (the contraction
+    runs first inside both paths, so arbitrary bounded digits are legal)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ark_blst_tpu.ops import lazy13 as LZ
+    from ark_blst_tpu.ops import pallas_lazy as PLZ
+
+    nrng = np.random.default_rng(7)
+    comps = [
+        jnp.asarray(
+            nrng.integers(-LZ.F_BOUND, LZ.F_BOUND + 1, size=(LZ.ELEM, 8, 128)),
+            jnp.int32,
+        )
+        for _ in range(12)
+    ]
+    a = PLZ._pack12(comps)
+    ref = TL._cyc_sqr_core(a)
+    PLZ.INTERPRET = True
+    try:
+        out = PLZ.cyc_sqr_fp12(a)
+    finally:
+        PLZ.INTERPRET = False
+    for i, j, k in PLZ._FP12_IDX:
+        assert np.array_equal(
+            np.asarray(ref[i][j][k]), np.asarray(out[i][j][k])
+        ), (i, j, k)
