@@ -33,6 +33,8 @@ source of truth, differentially tested.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -167,6 +169,37 @@ def _addition_step(T, r, q):
     return (nx, ny, nz), (c0, c1, t9)
 
 
+@functools.cache
+def _fused_prepare_step(is_dbl: bool):
+    """One whole prepare event as ONE Pallas kernel: the Jacobian
+    doubling (or mixed addition) step plus its line triple, VMEM-resident.
+    r is the stacked (6, 30, S, 128) Jacobian point; output stacks the new
+    point and the coefficient triple as (12, ...)."""
+    from ..ops import pallas_lazy as PLZ
+
+    def _r(R):
+        return ((R[0], R[1]), (R[2], R[3]), (R[4], R[5]))
+
+    def _flat(r, c):
+        (x, y, z), (c0, c1, c2) = r, c
+        return [x[0], x[1], y[0], y[1], z[0], z[1],
+                c0[0], c0[1], c1[0], c1[1], c2[0], c2[1]]
+
+    if is_dbl:
+
+        def body(R):
+            r, c = _doubling_step(TL, _r(R))
+            return _flat(r, c)
+
+        return PLZ.tower_fused(body, [6], 12)
+
+    def body(R, Q):
+        r, c = _addition_step(TL, _r(R), ((Q[0], Q[1]), (Q[2], Q[3])))
+        return _flat(r, c)
+
+    return PLZ.tower_fused(body, [6, 4], 12)
+
+
 def prepare_g2(q, fuse=None, engine=None, events=None):
     """Affine G2 batch (qx, qy) [STRICT fp2 leaves (L, *batch)] -> stacked
     line coefficients in the chosen ENGINE's representation, leading axis
@@ -191,6 +224,33 @@ def prepare_g2(q, fuse=None, engine=None, events=None):
             )
             coeffs.append(c)
         return jax.tree.map(lambda *xs: jnp.stack(xs), *coeffs)
+
+    if T is TL and TL._fusable(qx[0]):
+        # whole-event fused path: stacked (6, 30, S, 128) point carry, one
+        # kernel per event; coefficients are collected stacked and unpacked
+        # to the coeff pytree once at the end
+        rs = jnp.stack([r[0][0], r[0][1], r[1][0], r[1][1], r[2][0], r[2][1]])
+        qs = jnp.stack([qx[0], qx[1], qy[0], qy[1]])
+
+        def dbl_stk(rs, _):
+            out = _fused_prepare_step(True)(rs)
+            return out[:6], out[6:]
+
+        chunks = []
+        for n_dbl, has_add in _event_segments(ev):
+            if n_dbl:
+                rs, cs = lax.scan(dbl_stk, rs, None, length=n_dbl)
+                chunks.append(cs)
+            if has_add:
+                out = _fused_prepare_step(False)(rs, qs)
+                rs = out[:6]
+                chunks.append(out[None, 6:])
+        allc = jnp.concatenate(chunks, axis=0)  # (NUM, 6, 30, S, 128)
+        return (
+            (allc[:, 0], allc[:, 1]),
+            (allc[:, 2], allc[:, 3]),
+            (allc[:, 4], allc[:, 5]),
+        )
 
     def dbl_body(r, _):
         r, c = _doubling_step(T, r)
@@ -219,6 +279,28 @@ def _ell_legs(T, coeff, px, py):
     return c2, (s1a, s1b), (s0a, s0b)
 
 
+@functools.cache
+def _fused_miller_step(with_sqr: bool):
+    """One whole Miller event as ONE Pallas kernel: (optional f^2) + line
+    scaling (_ell_legs) + sparse mul_by_014, all VMEM-resident. Inputs are
+    stacked digit components: f (12, 30, S, 128), line triple (6, ...),
+    (px, py) (2, ...). At XLA level the same event is 3 kernel launches
+    plus ~80 HBM-round-tripping glue ops."""
+    from ..ops import pallas_lazy as PLZ
+
+    def body(F, C, PXY):
+        f = TL._pack12(F)
+        c = ((C[0], C[1]), (C[2], C[3]), (C[4], C[5]))
+        px, py = PXY
+        if with_sqr:
+            f = TL.fp12_sqr(f)
+        a0, a1, a4 = _ell_legs(TL, c, px, py)
+        f = TL.fp12_mul_by_014_many([(f, a0, a1, a4)])[0]
+        return TL._flat12(f)
+
+    return PLZ.tower_fused(body, [12, 6, 2], 12)
+
+
 def miller_loop(p, coeffs, fuse=None, engine=None, ingest=True, events=None):
     """Batched Miller loop: p = (px, py) STRICT affine G1 batch, coeffs from
     prepare_g2 (same engine). Returns an ENGINE fp12 batch (conjugated:
@@ -241,6 +323,28 @@ def miller_loop(p, coeffs, fuse=None, engine=None, ingest=True, events=None):
             a0, a1, a4 = _ell_legs(T, c, px, py)
             f = T.fp12_mul_by_014_many([(f, a0, a1, a4)])[0]
         return T.fp12_conj(f)
+
+    if T is TL and TL._fusable(px):
+        # whole-event fused path: f carried in stacked (12, 30, S, 128)
+        # form across the scan (no per-event repacking), one kernel per
+        # event
+        c0, c1, c2 = coeffs
+        cstk = jnp.stack([c0[0], c0[1], c1[0], c1[1], c2[0], c2[1]], axis=1)
+        pxy = jnp.stack([px, py])
+        fs = jnp.stack(TL._flat12(f))
+
+        def dbl_stk(fs, c):
+            return _fused_miller_step(True)(fs, c, pxy), None
+
+        i = 0
+        for n_dbl, has_add in _event_segments(ev):
+            if n_dbl:
+                fs, _ = lax.scan(dbl_stk, fs, cstk[i : i + n_dbl])
+                i += n_dbl
+            if has_add:
+                fs = _fused_miller_step(False)(fs, cstk[i], pxy)
+                i += 1
+        return TL.fp12_conj(TL._pack12([fs[c] for c in range(12)]))
 
     def dbl_body(f, c):
         f = T.fp12_sqr(f)
@@ -294,6 +398,21 @@ def cyclotomic_exp_x_conj(f, fuse=None, engine=None):
             if bit:
                 r = T.fp12_mul(r, f)
         return T.fp12_conj(r)
+
+    if T is TL and TL._fusable(f[0][0][0]):
+        # stacked fused ladder: each segment's n squarings run inside ONE
+        # Pallas kernel (VMEM-resident between squarings), segment-boundary
+        # multiplies are whole-op fused kernels, and the value never leaves
+        # the stacked (12, 30, S, 128) form
+        from ..ops import pallas_lazy as PLZ
+
+        base = jnp.stack(TL._flat12(f))
+        x = base
+        for n_sqr, do_mul in _X_SEGMENTS:
+            x = PLZ.cyc_sqr_stacked(x, n_sqr)
+            if do_mul:
+                x = TL._fused_op("mul12")(x, base)
+        return TL.fp12_conj(TL._pack12([x[c] for c in range(12)]))
 
     r = f
     for n_sqr, do_mul in _X_SEGMENTS:

@@ -60,6 +60,60 @@ def mont_mul_stacked(a, b):
 _FP12_IDX = [(i, j, k) for i in range(2) for j in range(3) for k in range(2)]
 
 
+def tower_fused(body, in_dims, n_out):
+    """Build a fused tower kernel: `body` maps lists of stacked digit
+    components (one list per input, lengths `in_dims`, each component
+    (ELEM, S_blk, 128) int32) to a list of `n_out` components, traced with
+    tower_lazy._IN_KERNEL set so every field multiply inside is the raw
+    digit-list algebra (no nested pallas_call, no concatenate batching).
+    Returns apply(*stacked) -> stacked: each input/output is one
+    (n, ELEM, S, 128) int32 array (callers stack/unstack at the
+    pipeline boundary, or carry the stacked form across iterations).
+
+    This is what makes the pairing pipeline kernel-resident: at XLA level
+    each tower op pays its glue (folds, Karatsuba legs, recombinations) as
+    HBM round trips around the Pallas base muls; fused, the whole op chain
+    keeps every intermediate in VMEM."""
+    from . import tower_lazy as TL
+
+    def kernel(*refs):
+        o_ref = refs[-1]
+        ins = []
+        for r, d in zip(refs[:-1], in_dims):
+            ins.append([r[c] for c in range(d)])
+        prev = TL._IN_KERNEL
+        TL._IN_KERNEL = True
+        try:
+            outs = body(*ins)
+        finally:
+            TL._IN_KERNEL = prev
+        o_ref[:] = jnp.stack(outs)
+
+    def apply(*xs):
+        S = xs[0].shape[2]
+        assert S % _BLOCK_S == 0, f"batch rows {S} not a multiple of {_BLOCK_S}"
+
+        def spec(n):
+            return pl.BlockSpec(
+                (n, LZ.ELEM, _BLOCK_S, 128),
+                lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_out, LZ.ELEM) + xs[0].shape[2:], jnp.int32
+            ),
+            grid=(S // _BLOCK_S,),
+            in_specs=[spec(d) for d in in_dims],
+            out_specs=spec(n_out),
+            interpret=INTERPRET,
+        )(*xs)
+
+    return apply
+
+
 def _pack12(comps):
     it = iter(comps)
     return tuple(
@@ -67,28 +121,41 @@ def _pack12(comps):
     )
 
 
-def _cyc_sqr_kernel(x_ref, o_ref):
+def _cyc_sqr_n_kernel(n, x_ref, o_ref):
     from . import tower_lazy as TL
 
-    a = _pack12([x_ref[c] for c in range(12)])
+    comps = [x_ref[c] for c in range(12)]
     prev = TL._IN_KERNEL
     TL._IN_KERNEL = True  # trace-time: route muls to the raw digit lists
     try:
-        out = TL._cyc_sqr_core(a)
+        if n == 1:
+            out = TL._cyc_sqr_core(_pack12(comps))
+            comps = [out[i][j][k] for i, j, k in _FP12_IDX]
+        else:
+            # n squarings VMEM-resident: the exponent ladder's long runs
+            # (9, 32 and 16 squarings between multiplies) never leave the
+            # kernel
+            def body(_, cs):
+                out = TL._cyc_sqr_core(_pack12(cs))
+                return [out[i][j][k] for i, j, k in _FP12_IDX]
+
+            comps = jax.lax.fori_loop(0, n, body, comps)
     finally:
         TL._IN_KERNEL = prev
-    o_ref[:] = jnp.stack([out[i][j][k] for i, j, k in _FP12_IDX])
+    o_ref[:] = jnp.stack(comps)
 
 
-@jax.jit
-def cyc_sqr_stacked(x):
-    """Fused fp12 cyclotomic square: x is the (12, ELEM, S, 128) int32
-    stack of the element's fp components (lexicographic (i, j, k) order).
-    One kernel runs contraction + Granger-Scott (18 base muls) + the
-    3t±2z recombination with every intermediate VMEM-resident; at XLA
-    level the same square is ~40 HBM-round-tripping glue ops around the
-    muls. Digit-bound contract and output representation are identical to
-    tower_lazy._cyc_sqr_core (differentially tested)."""
+@functools.partial(jax.jit, static_argnums=1)
+def cyc_sqr_stacked(x, n=1):
+    """Fused fp12 cyclotomic square, applied n times: x is the
+    (12, ELEM, S, 128) int32 stack of the element's fp components
+    (lexicographic (i, j, k) order). One kernel runs [contraction +
+    Granger-Scott (18 base muls) + the 3t±2z recombination] x n with every
+    intermediate VMEM-resident; at XLA level each square is ~40
+    HBM-round-tripping glue ops around the muls. Digit-bound contract and
+    output representation are identical to tower_lazy._cyc_sqr_core
+    (differentially tested); the contraction at the top of each square
+    makes iterated application value-stable (tower_lazy._contract_many)."""
     S = x.shape[2]
     assert S % _BLOCK_S == 0, f"batch rows {S} not a multiple of {_BLOCK_S}"
     spec = pl.BlockSpec(
@@ -97,7 +164,7 @@ def cyc_sqr_stacked(x):
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        _cyc_sqr_kernel,
+        functools.partial(_cyc_sqr_n_kernel, n),
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
         grid=(S // _BLOCK_S,),
         in_specs=[spec],
@@ -109,7 +176,7 @@ def cyc_sqr_stacked(x):
 def cyc_sqr_fp12(a):
     """Tower-tuple API over cyc_sqr_stacked."""
     x = jnp.stack([a[i][j][k] for i, j, k in _FP12_IDX])
-    out = cyc_sqr_stacked(x)
+    out = cyc_sqr_stacked(x, 1)
     return _pack12([out[c] for c in range(12)])
 
 

@@ -36,6 +36,8 @@ first principles via the oracle — unlike the reference's no-op quirk
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -527,6 +529,59 @@ def fp6_inv(a, fuse: bool = True):
 
 # --- fp12 ---------------------------------------------------------------------
 
+_IDX12 = [(i, j, k) for i in range(2) for j in range(3) for k in range(2)]
+
+
+def _flat12(a):
+    return [a[i][j][k] for i, j, k in _IDX12]
+
+
+def _pack12(comps):
+    it = iter(comps)
+    return tuple(
+        tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
+    )
+
+
+def _fusable(x):
+    """True when x is a kernel-blockable stacked digit component and we are
+    not already tracing inside a fused kernel body."""
+    return (
+        not _IN_KERNEL
+        and jax.default_backend() == "tpu"
+        and x.ndim == 3
+        and x.shape[1] % 8 == 0
+        and x.shape[2] == 128
+    )
+
+
+@functools.cache
+def _fused_op(name):
+    """Fused whole-op Pallas kernels for the fp12 hot path (built lazily,
+    one per op). Each body re-enters the SAME public function below — with
+    _IN_KERNEL set the dispatcher short-circuits and the XLA digit math
+    traces inside the kernel, so fused and unfused paths are one code
+    path (bit-identical by construction)."""
+    from . import pallas_lazy as PLZ
+
+    if name == "mul12":
+        body = lambda A, B: _flat12(fp12_mul(_pack12(A), _pack12(B)))
+        return PLZ.tower_fused(body, [12, 12], 12)
+    if name == "sqr12":
+        body = lambda A: _flat12(fp12_sqr(_pack12(A)))
+        return PLZ.tower_fused(body, [12], 12)
+    if name == "mul_by_014":
+
+        def body(F, C):
+            f = _pack12(F)
+            c0, c1, c4 = (C[0], C[1]), (C[2], C[3]), (C[4], C[5])
+            out = fp12_mul_by_014_many([(f, c0, c1, c4)])[0]
+            return _flat12(out)
+
+        return PLZ.tower_fused(body, [12, 6], 12)
+    raise KeyError(name)
+
+
 def fp12_add(a, b):
     return (fp6_add(a[0], b[0]), fp6_add(a[1], b[1]))
 
@@ -561,11 +616,17 @@ def fp12_mul_many(pairs):
 
 
 def fp12_mul(a, b):
+    if _fusable(a[0][0][0]):
+        out = _fused_op("mul12")(jnp.stack(_flat12(a)), jnp.stack(_flat12(b)))
+        return _pack12([out[c] for c in range(12)])
     return fp12_mul_many([(a, b)])[0]
 
 
 def fp12_sqr(a):
-    """Complex squaring: 2 fp6 muls."""
+    """Complex squaring: 2 fp6 muls (whole-op fused kernel on TPU)."""
+    if _fusable(a[0][0][0]):
+        out = _fused_op("sqr12")(jnp.stack(_flat12(a)))
+        return _pack12([out[c] for c in range(12)])
     t, m = fp6_mul_many(
         [(a[0], a[1]), (fp6_add(a[0], a[1]), fp6_add(a[0], fp6_mul_by_nonresidue(a[1])))]
     )
@@ -586,7 +647,15 @@ def fp12_mul_by_014_many(items):
     """[(f, c0, c1, c4)] -> f * ((c0 + c1 v) + (c4 v) w): the sparse line
     multiplication of the Miller loop. All 15 fp2 products per item (the
     aa/bb/mid sub-multiplies) ride ONE concatenated launch — the Miller
-    scan is latency-bound below ~2K batch, so launch count is the cost."""
+    scan is latency-bound below ~2K batch, so launch count is the cost.
+    Single items on TPU run as one whole-op fused kernel instead."""
+    if len(items) == 1 and _fusable(items[0][0][0][0][0]):
+        f, c0, c1, c4 = items[0]
+        out = _fused_op("mul_by_014")(
+            jnp.stack(_flat12(f)),
+            jnp.stack([c0[0], c0[1], c1[0], c1[1], c4[0], c4[1]]),
+        )
+        return [_pack12([out[c] for c in range(12)])]
     legs = []
     for f, c0, c1, c4 in items:
         a0, a1, a2 = f[0]
